@@ -1,0 +1,197 @@
+"""P/R/F1 metrics as two-stage aggregations (reference §2.7).
+
+The reference accumulates per-label TP/FP/FN counters batch by batch
+(relex/metrics/f1_measure.py:32-83) and finalizes with 1e-13-smoothed
+ratios (:155-162). Here stage 1 is a gold⋈pred equi-join (by row id —
+the reference aligns by list position, semeval2010_task8_evaluation.py:70-72)
+followed by a partial+final hash aggregation; stage 2 is arithmetic over
+the tiny per-label frame.
+
+Quirk parity (f1_measure.py:128-146): the macro average does NOT exclude
+``ignore_label`` — replicated verbatim so metric outputs are bit-comparable.
+
+E3 (tacred_evaluation.py:9-98): micro P/R/F1 where a (gold, guess) pair
+contributes guessed/gold counts only when the respective side is not
+``no_relation`` — note this differs from one-vs-rest micro.
+
+E4 (semeval2010_task8_evaluation.py:20-53): the official SemEval scorer's
+headline = macro-F1 over the 9 undirected relation classes excluding Other,
+directionality-aware (a directional confusion is both an FP and an FN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-13  # f1_measure.py:159-161
+
+
+def f1_counts(joined: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
+    """E1: one-vs-rest TP/FP/FN per label from a (gold, pred) frame.
+
+    Shuffle-free until the final agg: the label-level union is an explode
+    of two (label, is_tp, …) contributions per row, aggregated map-side.
+    """
+    gold = F.col(gold_col)
+    pred = F.col(pred_col)
+    contrib = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    gold.alias("label"),
+                    F.when(pred == gold, 1).otherwise(0).alias("tp"),
+                    F.lit(0).alias("fp"),
+                    F.when(pred != gold, 1).otherwise(0).alias("fn"),
+                ),
+                F.struct(
+                    pred.alias("label"),
+                    F.lit(0).alias("tp"),
+                    F.when(pred != gold, 1).otherwise(0).alias("fp"),
+                    F.lit(0).alias("fn"),
+                ),
+            )
+        ).alias("c")
+    )
+    return (
+        contrib.groupBy(F.col("c.label").alias("label"))
+        .agg(
+            F.sum("c.tp").alias("tp"),
+            F.sum("c.fp").alias("fp"),
+            F.sum("c.fn").alias("fn"),
+        )
+    )
+
+
+def f1_metrics(counts: DataFrame) -> DataFrame:
+    """E2 per-label finalize: P/R/F1 with the reference's 1e-13 smoothing."""
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    precision = tp / (tp + fp + F.lit(EPS))
+    recall = tp / (tp + fn + F.lit(EPS))
+    f1 = F.lit(2.0) * precision * recall / (precision + recall + F.lit(EPS))
+    return counts.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def f1_overall(
+    metrics: DataFrame, average: str = "macro", ignore_label: str | None = None
+) -> dict[str, float]:
+    """E2 overall: micro honors ignore_label; macro does NOT (reference
+    quirk, f1_measure.py:128-146). Returns a 3-key dict (driver-side — the
+    input frame has ≤ num_labels rows)."""
+    if average == "micro":
+        df = metrics
+        if ignore_label is not None:
+            df = df.where(F.col("label") != ignore_label)
+        row = df.agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+        ).collect()[0]
+        tp, fp, fn = float(row["tp"] or 0), float(row["fp"] or 0), float(row["fn"] or 0)
+        precision = tp / (tp + fp + EPS)
+        recall = tp / (tp + fn + EPS)
+    elif average == "macro":
+        row = metrics.agg(
+            F.avg("precision").alias("p"), F.avg("recall").alias("r")
+        ).collect()[0]
+        precision = float(row["p"] or 0.0)
+        recall = float(row["r"] or 0.0)
+    else:
+        raise ValueError(average)
+    f1 = 2.0 * precision * recall / (precision + recall + EPS)
+    return {"precision": precision, "recall": recall, "f1": f1}
+
+
+def tacred_micro_f1(
+    joined: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+    no_relation: str = "no_relation",
+) -> dict[str, float]:
+    """E3: the TACRED scorer's micro P/R/F1 (tacred_evaluation.py:20-34,
+    84-94): guessed = pred != no_relation, gold = gold != no_relation,
+    correct = both non-null and equal."""
+    gold = F.col(gold_col)
+    pred = F.col(pred_col)
+    row = joined.agg(
+        F.sum(F.when(pred != no_relation, 1).otherwise(0)).alias("guessed"),
+        F.sum(F.when(gold != no_relation, 1).otherwise(0)).alias("gold"),
+        F.sum(
+            F.when((pred != no_relation) & (gold == pred), 1).otherwise(0)
+        ).alias("correct"),
+    ).collect()[0]
+    guessed, gold_n, correct = (
+        float(row["guessed"] or 0),
+        float(row["gold"] or 0),
+        float(row["correct"] or 0),
+    )
+    prec = correct / guessed if guessed > 0 else 1.0
+    rec = correct / gold_n if gold_n > 0 else 0.0
+    f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1}
+
+
+def semeval_official_f1(
+    joined: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+) -> dict[str, float]:
+    """E4: official-scorer headline re-expressed as aggregations — macro
+    over the 9 relation classes (directional collapse for the class axis,
+    but a wrong direction still counts as FP+FN), excluding Other."""
+    base = F.regexp_replace(F.col(gold_col), r"\(e[12],e[21]\)", "")
+    base_p = F.regexp_replace(F.col(pred_col), r"\(e[12],e[21]\)", "")
+    df = joined.select(
+        base.alias("gold_class"),
+        base_p.alias("pred_class"),
+        (F.col(gold_col) == F.col(pred_col)).cast("int").alias("exact"),
+    )
+    contrib = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("gold_class").alias("label"),
+                    F.col("exact").alias("tp"),
+                    F.lit(0).alias("fp"),
+                    (1 - F.col("exact")).alias("fn"),
+                ),
+                F.struct(
+                    F.col("pred_class").alias("label"),
+                    F.lit(0).alias("tp"),
+                    (1 - F.col("exact")).alias("fp"),
+                    F.lit(0).alias("fn"),
+                ),
+            )
+        ).alias("c")
+    )
+    per_label = (
+        contrib.groupBy(F.col("c.label").alias("label"))
+        .agg(F.sum("c.tp").alias("tp"), F.sum("c.fp").alias("fp"), F.sum("c.fn").alias("fn"))
+        .where(F.col("label") != "Other")
+    )
+    rows = f1_metrics(per_label).collect()
+    if not rows:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    p = sum(r["precision"] for r in rows) / len(rows)
+    r_ = sum(r["recall"] for r in rows) / len(rows)
+    f1 = 2.0 * p * r_ / (p + r_ + EPS)
+    return {"precision": p, "recall": r_, "f1": f1}
+
+
+def trial_summary(trials: DataFrame, group_col: str = "experiment") -> DataFrame:
+    """E7: mean/stddev of P/R/F1 across trials (scripts/summary.py:49-99,
+    population stddev per numpy default at :59-60)."""
+    return trials.groupBy(group_col).agg(
+        F.avg("precision").alias("mean_precision"),
+        F.stddev_pop("precision").alias("std_precision"),
+        F.avg("recall").alias("mean_recall"),
+        F.stddev_pop("recall").alias("std_recall"),
+        F.avg("f1").alias("mean_f1"),
+        F.stddev_pop("f1").alias("std_f1"),
+    )

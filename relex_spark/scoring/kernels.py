@@ -1,0 +1,191 @@
+"""Vectorized numpy scoring kernels (reference §2.6 M1, M4, M7, M8, M11,
+M14–M16, M18) — the compute that runs inside each Arrow micro-batch.
+
+Everything here operates on one padded batch ``(B, L, …)``, exactly the
+shape the reference's AllenNLP batches take
+(basic_relation_classifier.py:153-229), but in numpy float32. Padding is
+per-micro-batch only, never global (reference analogue: bucket-iterator
+padding, B1).
+
+Per-row determinism note: the engine defines CNN max-over-time over the
+row's *valid* windows only (windows fully inside the unpadded length), so a
+row's score never depends on which batch it landed in. (AllenNLP 0.9's
+CnnEncoder convolves across padding, making outputs batch-composition
+dependent — a defect we deliberately do not reproduce; see SURVEY §2.9
+discussion of parity scope. Label-level parity is the P/R gate.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from relex_spark.scoring.weights import ModelWeights
+
+
+def pad_batch(ids_list: list[list[int]], pad_id: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a list of id sequences → (ids (B,L) int64, lengths (B,) int64)."""
+    b = len(ids_list)
+    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=b)
+    lmax = int(lens.max()) if b else 0
+    ids = np.full((b, max(lmax, 1)), pad_id, dtype=np.int64)
+    for i, seq in enumerate(ids_list):
+        ids[i, : len(seq)] = seq
+    return ids, lens
+
+
+def relative_offset_index_batch(
+    lengths: np.ndarray, starts: np.ndarray, ends: np.ndarray, n_position: int, lmax: int
+) -> np.ndarray:
+    """M4 batched: index matrix (B, L) per
+    relative_offset_embedder.py:40-51 (masked to 0 on padding)."""
+    pos = np.arange(lmax)[None, :]                      # (1, L)
+    s = starts[:, None]
+    e = ends[:, None]
+    off = np.where(pos < s, pos - s, np.where(pos > e, pos - e, 0))
+    idx = 1 + n_position + off
+    mask = pos < lengths[:, None]
+    return np.where(mask, idx, 0)
+
+
+def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
+                head_spans: np.ndarray, tail_spans: np.ndarray) -> np.ndarray:
+    """M1 + M4×2 + M7: token embedding lookup, head/tail offset embedding
+    lookup, concatenation → (B, L, d_in) float32, zero at padding."""
+    b, lmax = ids.shape
+    text_emb = w.emb[ids]                               # (B, L, d_emb)
+
+    hidx = relative_offset_index_batch(
+        lengths, head_spans[:, 0], head_spans[:, 1], w.n_position, lmax
+    )
+    tidx = relative_offset_index_batch(
+        lengths, tail_spans[:, 0], tail_spans[:, 1], w.n_position, lmax
+    )
+    head_emb = w.head_offset_emb[hidx]
+    tail_emb = w.tail_offset_emb[tidx]
+
+    out = np.concatenate([text_emb, head_emb, tail_emb], axis=-1)
+    mask = (np.arange(lmax)[None, :] < lengths[:, None]).astype(np.float32)
+    return out * mask[:, :, None]
+
+
+def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """M8: multi-width 1-D conv + ReLU + max-over-valid-windows → (B, d_enc).
+
+    im2col formulation: windows via sliding_window_view, one GEMM per
+    filter width. Rows shorter than a width contribute that width's ReLU(b)
+    (a single zero-input window — deterministic, batch-independent).
+    """
+    b, lmax, d_in = x.shape
+    outs = []
+    for k, (wk, bk) in sorted(w.cnn_filters.items()):
+        nf = wk.shape[1]
+        if lmax >= k:
+            win = np.lib.stride_tricks.sliding_window_view(x, (k, d_in), axis=(1, 2))
+            win = win.reshape(b, lmax - k + 1, k * d_in)
+            conv = win @ wk + bk                        # (B, W, nf)
+            np.maximum(conv, 0.0, out=conv)
+            n_win = lengths - k + 1                     # valid windows per row
+            wmask = np.arange(lmax - k + 1)[None, :] < n_win[:, None]
+            conv = np.where(wmask[:, :, None], conv, -np.inf)
+            pooled = conv.max(axis=1)                   # (B, nf)
+        else:
+            pooled = np.full((b, nf), -np.inf, dtype=np.float32)
+            n_win = lengths - k + 1
+        # Short rows (no valid window): ReLU(bias) from one all-zero window.
+        short = n_win < 1
+        if short.any():
+            pooled[short] = np.maximum(bk, 0.0)
+        outs.append(pooled.astype(np.float32))
+    return np.concatenate(outs, axis=1)
+
+
+def boe_encode(x: np.ndarray, lengths: np.ndarray, pooling: str = "sum") -> np.ndarray:
+    """M11 bag-of-embeddings: masked sum/mean/max pool over time
+    (bag_of_embeddings_encoder.py:41-61 with projection off)."""
+    if pooling == "sum":
+        return x.sum(axis=1)
+    if pooling == "mean":
+        return x.sum(axis=1) / np.maximum(lengths[:, None], 1)
+    if pooling == "max":
+        lmax = x.shape[1]
+        mask = np.arange(lmax)[None, :] < lengths[:, None]
+        return np.where(mask[:, :, None], x, -np.inf).max(axis=1)
+    raise ValueError(f"'{pooling}' is not a valid pooling operation.")
+
+
+def scoped_pool_batch(
+    x: np.ndarray,
+    lengths: np.ndarray,
+    head_spans: np.ndarray,
+    tail_spans: np.ndarray,
+    pooling: str = "max",
+) -> np.ndarray:
+    """M15: concat of sequence/head/tail masked pools → (B, 3*d)
+    (seq2vec_encoders/utils.py:33-73)."""
+    b, lmax, d = x.shape
+    pos = np.arange(lmax)[None, :]
+    seq_mask = pos < lengths[:, None]
+    head_mask = (pos >= head_spans[:, :1]) & (pos <= head_spans[:, 1:2]) & seq_mask
+    tail_mask = (pos >= tail_spans[:, :1]) & (pos <= tail_spans[:, 1:2]) & seq_mask
+
+    def _pool(mask: np.ndarray) -> np.ndarray:
+        m = mask[:, :, None]
+        if pooling == "max":
+            return np.where(m, x, -np.inf).max(axis=1)
+        if pooling == "mean":
+            cnt = np.maximum(mask.sum(axis=1)[:, None], 1)
+            return (x * m).sum(axis=1) / cnt
+        if pooling == "sum":
+            return (x * m).sum(axis=1)
+        raise ValueError(f"'{pooling}' is not a valid pooling operation.")
+
+    return np.concatenate([_pool(seq_mask), _pool(head_mask), _pool(tail_mask)], axis=1)
+
+
+def gcn_encode(
+    x: np.ndarray,
+    adj: np.ndarray,
+    weights: list[np.ndarray],
+    biases: list[np.ndarray],
+) -> np.ndarray:
+    """M12: L× graph convolution out = relu(A·(X·W) / (rowdeg(A)+1))
+    (relex/modules/seq2vec_encoders/gcn.py:114-119), batched einsum.
+    Sentence-local graphs — no shuffle, pure per-batch tensor algebra."""
+    h = x
+    denom = adj.sum(axis=2, keepdims=True) + 1.0
+    for w_l, b_l in zip(weights, biases):
+        ax_w = np.einsum("bij,bjd->bid", adj, h @ w_l)
+        h = np.maximum(ax_w / denom + b_l, 0.0)
+    return h.astype(np.float32)
+
+
+def softmax(logits: np.ndarray) -> np.ndarray:
+    """M18 decode (basic_relation_classifier.py:237): stable softmax."""
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def forward_batch(
+    w: ModelWeights,
+    ids_list: list[list[int]],
+    head_spans: np.ndarray,
+    tail_spans: np.ndarray,
+    encoder: str = "cnn",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full forward pass for one micro-batch → (probs (B, C), argmax (B,)).
+
+    Mirrors basic_relation_classifier.py:153-229 at inference: embed →
+    offset embeds → concat → encoder → feedforward → softmax/argmax.
+    """
+    ids, lengths = pad_batch(ids_list)
+    x = embed_batch(w, ids, lengths, head_spans, tail_spans)
+    if encoder == "cnn":
+        enc = cnn_encode(w, x, lengths)
+    elif encoder == "boe_sum":
+        enc = boe_encode(x, lengths, "sum")
+    else:
+        raise ValueError(f"unknown encoder {encoder!r}")
+    logits = enc @ w.ff_w + w.ff_b
+    probs = softmax(logits)
+    return probs, probs.argmax(axis=-1)

@@ -1,0 +1,90 @@
+"""The batched relation-scoring stage (reference §2.5 B2 + §2.6 chain).
+
+One ``mapInPandas`` over the candidate DataFrame: tokenize-once (token ids
+resolved against the broadcast vocab inside the kernel — no extra shuffle),
+pad per Arrow micro-batch, run the numpy forward pass, emit label + score.
+This is the engine's only Python execution boundary on the hot path; there
+are no per-row Python UDFs (north-rule requirement).
+
+Reference analogue: ``batched_predict_instances``
+(relex/models/model_utils.py:19-28) + ``Model.decode``
+(relex/models/relation_classification/basic_relation_classifier.py:231-245),
+with the driver-side batch loop replaced by partitioned Arrow batches.
+
+Scale notes:
+* Weights travel once per executor via ``sc.broadcast`` (S5 analogue).
+* Arrow batch size (session.ARROW_BATCH_ROWS) bounds padded-tensor memory.
+* Optionally ``sortWithinPartitions(size(tokens))`` upstream reduces padding
+  waste (B1 bucket-iterator analogue) without changing results — per-row
+  outputs are batch-independent by kernel construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relex_spark.scoring.kernels import forward_batch
+from relex_spark.scoring.weights import ModelWeights
+
+
+def broadcast_weights(df_or_spark, weights: ModelWeights) -> Broadcast:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return spark.sparkContext.broadcast(weights)
+
+
+def score_candidates(
+    candidates: DataFrame,
+    weights_bc: Broadcast,
+    keep_columns: list[str] | None = None,
+    encoder: str = "cnn",
+    with_probs: bool = False,
+    bucket_by_length: bool = True,
+) -> DataFrame:
+    """Score (tokens, head, tail) candidates → append ``label``, ``score``.
+
+    Required input columns: ``tokens ARRAY<STRING>``, ``head_start``,
+    ``head_end``, ``tail_start``, ``tail_end`` (inclusive ints).
+    ``keep_columns`` (default: all non-feature columns) pass through.
+    """
+    feature_cols = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
+    if keep_columns is None:
+        keep_columns = [c for c in candidates.columns if c not in feature_cols]
+
+    in_df = candidates.select(*keep_columns, *feature_cols)
+    if bucket_by_length:
+        in_df = in_df.sortWithinPartitions(F.size("tokens"))
+
+    out_fields = [in_df.schema[c] for c in keep_columns]
+    out_fields += [
+        T.StructField("label", T.StringType()),
+        T.StructField("score", T.FloatType()),
+    ]
+    if with_probs:
+        out_fields.append(T.StructField("probs", T.ArrayType(T.FloatType())))
+    out_schema = T.StructType(out_fields)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w: ModelWeights = weights_bc.value
+        labels = np.array(w.labels, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_list = [w.token_ids(list(toks)) for toks in pdf["tokens"]]
+            head = pdf[["head_start", "head_end"]].to_numpy(dtype=np.int64)
+            tail = pdf[["tail_start", "tail_end"]].to_numpy(dtype=np.int64)
+            probs, argmax = forward_batch(w, ids_list, head, tail, encoder=encoder)
+            out = pdf[keep_columns].copy()
+            out["label"] = labels[argmax]
+            out["score"] = probs.max(axis=-1).astype(np.float32)
+            if with_probs:
+                out["probs"] = [row.astype(np.float32) for row in probs]
+            yield out
+
+    return in_df.mapInPandas(score_batches, schema=out_schema)

@@ -1,0 +1,136 @@
+"""Deterministic relation-classifier weights (FIXTURES.md §6).
+
+Plays the role of the reference's trained archive
+(/root/reference/tests/fixtures/model.tar.gz loaded by
+relex/predictors/predictor_utils.py:8-15): an embedding matrix, two
+relative-offset embedding tables, CNN filters per ngram size, and a linear
+classifier head — all seeded numpy arrays, broadcast to executors.
+
+Architecture mirrors the reference flagship config
+(configs/relation_classification/semeval/baseline_cnn.jsonnet): text
+embedding + head/tail relative offset embeddings (concatenated,
+basic_relation_classifier.py:190-204), CNN seq2vec encoder
+(ngram sizes + max-over-time), 1-layer linear feedforward to the 19-label
+SemEval space, softmax decode (basic_relation_classifier.py:231-245).
+Dropout stages (M2/M3) are identity at inference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SEMEVAL_LABELS = [
+    "Cause-Effect(e1,e2)", "Cause-Effect(e2,e1)",
+    "Component-Whole(e1,e2)", "Component-Whole(e2,e1)",
+    "Content-Container(e1,e2)", "Content-Container(e2,e1)",
+    "Entity-Destination(e1,e2)", "Entity-Destination(e2,e1)",
+    "Entity-Origin(e1,e2)", "Entity-Origin(e2,e1)",
+    "Instrument-Agency(e1,e2)", "Instrument-Agency(e2,e1)",
+    "Member-Collection(e1,e2)", "Member-Collection(e2,e1)",
+    "Message-Topic(e1,e2)", "Message-Topic(e2,e1)",
+    "Product-Producer(e1,e2)", "Product-Producer(e2,e1)",
+    "Other",
+]
+
+PAD_ID = 0
+OOV_ID = 1
+
+
+@dataclass
+class ModelWeights:
+    """All state needed by the scoring kernel; numpy-only, picklable for
+    ``sc.broadcast`` (the reference's model-archive analogue, S5)."""
+
+    token_to_id: dict[str, int]
+    labels: list[str]
+    emb: np.ndarray                # (V, d_emb) float32; row 0 (pad) zero
+    head_offset_emb: np.ndarray    # (2*n_position+1, d_off); row 0 zero
+    tail_offset_emb: np.ndarray    # (2*n_position+1, d_off); row 0 zero
+    cnn_filters: dict[int, tuple[np.ndarray, np.ndarray]]  # k -> (W:(k*d_in,nf), b:(nf,))
+    ff_w: np.ndarray               # (d_enc, n_labels)
+    ff_b: np.ndarray               # (n_labels,)
+    n_position: int
+    max_len: int
+    lowercase: bool = True
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def d_in(self) -> int:
+        return (
+            self.emb.shape[1]
+            + self.head_offset_emb.shape[1]
+            + self.tail_offset_emb.shape[1]
+        )
+
+    def token_ids(self, tokens: list[str]) -> list[int]:
+        """V3: token→id with OOV fallback; single_id lowercase_tokens
+        semantics (tests/fixtures/basic_relation_classifier.jsonnet:5-8)."""
+        t2i = self.token_to_id
+        if self.lowercase:
+            return [t2i.get(t.lower(), OOV_ID) for t in tokens]
+        return [t2i.get(t, OOV_ID) for t in tokens]
+
+
+def build_fixture_weights(
+    vocab_tokens: list[str],
+    seed: int = 7,
+    d_emb: int = 32,
+    d_off: int = 16,
+    num_filters: int = 32,
+    ngram_sizes: tuple[int, ...] = (2, 3, 4, 5),
+    n_position: int = 100,
+    max_len: int = 100,
+    labels: list[str] | None = None,
+) -> ModelWeights:
+    """Seeded-deterministic weights over a supplied (already-ordered) vocab.
+
+    ``vocab_tokens`` must be deterministic — use operators.vocab.build_vocab
+    output (count desc, token asc) or a sorted token list.
+    """
+    labels = labels or SEMEVAL_LABELS
+    rng = np.random.default_rng(seed)
+
+    token_to_id = {"<pad>": PAD_ID, "<oov>": OOV_ID}
+    for tok in vocab_tokens:
+        if tok not in token_to_id:
+            token_to_id[tok] = len(token_to_id)
+
+    v = len(token_to_id)
+    emb = rng.standard_normal((v, d_emb), dtype=np.float32) * 0.5
+    emb[PAD_ID] = 0.0
+
+    def offset_table() -> np.ndarray:
+        t = rng.standard_normal((2 * n_position + 1, d_off), dtype=np.float32) * 0.5
+        t[0] = 0.0  # padding_idx=0 zeroed (relative_offset_embedder.py:13-17)
+        return t
+
+    head_off = offset_table()
+    tail_off = offset_table()
+
+    d_in = d_emb + 2 * d_off
+    cnn = {}
+    for k in ngram_sizes:
+        w = rng.standard_normal((k * d_in, num_filters), dtype=np.float32)
+        w *= np.float32(1.0 / np.sqrt(k * d_in))
+        b = rng.standard_normal(num_filters, dtype=np.float32) * 0.1
+        cnn[k] = (w, b)
+
+    d_enc = num_filters * len(ngram_sizes)
+    ff_w = rng.standard_normal((d_enc, len(labels)), dtype=np.float32)
+    ff_w *= np.float32(1.0 / np.sqrt(d_enc))
+    ff_b = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
+    return ModelWeights(
+        token_to_id=token_to_id,
+        labels=list(labels),
+        emb=emb,
+        head_offset_emb=head_off,
+        tail_offset_emb=tail_off,
+        cnn_filters=cnn,
+        ff_w=ff_w,
+        ff_b=ff_b,
+        n_position=n_position,
+        max_len=max_len,
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same builder is used by tests (local[*]), bench.py (local[N]) and a real
+cluster run (spark-submit supplies master/executors; the builder only sets
+SQL-level knobs, so cluster deploys are unaffected).
+
+Settings rationale (tuned for the 100 TB design point, harmless locally):
+
+* AQE on, with coalescing + skew-join splitting: hot conversation keys and
+  hot entities in the canonicalization join are split at runtime.
+* ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real
+  cluster AQE coalesces from a deliberately-high initial number.
+* Arrow enabled with a bounded batch size: the relation-scoring kernel pads
+  per Arrow batch, so batch size bounds the padded tensor footprint
+  (reference analogue: eval batch 128 — scripts/evaluation.py:31 — but we
+  keep batches big enough to amortize the Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Max rows per Arrow record batch crossing into mapInPandas kernels. The
+# scoring kernel pads each batch to its own max sequence length, so memory
+# per batch is ~ batch_rows * max_len * hidden * 4 bytes.
+ARROW_BATCH_ROWS = 4096
+
+
+def get_spark(
+    app_name: str = "relex_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    builder = SparkSession.builder.appName(app_name)
+
+    if master is None:
+        master = os.environ.get("RELEX_SPARK_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        # Local development/test default; spark-submit overrides via --master.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = builder.master(f"local[{cpus}]")
+
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        shuffle_partitions = max(2 * cpus, 8)
+
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+        # Parquet scans: keep splits big enough to amortize task overhead.
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Deterministic timestamps across engines/timezones.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("RELEX_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    return builder.getOrCreate()

@@ -1,0 +1,128 @@
+"""Scoring-kernel parity and the triple P/R ≥ 0.95 gate (BASELINE.json).
+
+The "reference outputs" are produced by tests/oracle_model.py — an
+independent per-row pure-Python implementation of the reference's inference
+math (basic_relation_classifier.py:153-245) — run on the exact same
+candidates. The Spark pipeline must match its labels at P/R ≥ 0.95
+(observed: 1.0; any kernel/batching bug breaks this immediately because
+padding or masking errors flip argmaxes).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+from relex_spark.operators.candidates import detect_mentions, generate_candidate_pairs
+from relex_spark.scoring.kernels import forward_batch
+from relex_spark.scoring.weights import build_fixture_weights
+from relex_spark.sources.transcripts import (
+    fixture_gazetteer_rows,
+    load_semeval_fixture,
+    synthesize_transcripts,
+)
+from tests.oracle_model import oracle_predict
+
+
+@pytest.fixture(scope="module")
+def weights():
+    return KGPipelineConfig().resolved_weights()
+
+
+def test_kernel_matches_oracle_on_fixture_sentences(weights):
+    """Vectorized kernel ≡ per-row oracle on all 10 fixture examples,
+    batched together (exercises padding across mixed lengths)."""
+    fixture = load_semeval_fixture()
+    ids_list, heads, tails = [], [], []
+    for ex in fixture:
+        ids_list.append(weights.token_ids(ex["tokens"]))
+        (h0, h1), (t0, t1) = ex["entities"]
+        heads.append((h0, h1 - 1))
+        tails.append((t0, t1 - 1))
+    probs, argmax = forward_batch(
+        weights, ids_list, np.array(heads), np.array(tails)
+    )
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    for i, ex in enumerate(fixture):
+        label, oprobs = oracle_predict(
+            weights, ex["tokens"], heads[i], tails[i]
+        )
+        assert weights.labels[argmax[i]] == label, ex["id"]
+        assert np.allclose(probs[i], oprobs, atol=1e-4), ex["id"]
+
+
+def test_kernel_batch_independence(weights):
+    """A row's scores must not depend on batch composition (the engine
+    fixes AllenNLP 0.9's pad-window dependence — kernels.py docstring)."""
+    ex = load_semeval_fixture()[3]  # shortest sentence (8 tokens)
+    ids = weights.token_ids(ex["tokens"])
+    long_ids = weights.token_ids(load_semeval_fixture()[6]["tokens"])  # 36 tokens
+    span = np.array([[2, 2]])
+    solo, _ = forward_batch(weights, [ids], span, np.array([[6, 6]]))
+    mixed, _ = forward_batch(
+        weights,
+        [ids, long_ids],
+        np.array([[2, 2], [7, 7]]),
+        np.array([[6, 6], [18, 18]]),
+    )
+    assert np.allclose(solo[0], mixed[0], atol=1e-6)
+
+
+def test_pipeline_pr_gate_vs_oracle(spark, weights):
+    """The north-rule gate: engine triples vs oracle labels, P/R ≥ 0.95."""
+    t = synthesize_transcripts(spark, n_convs=40)
+    config = KGPipelineConfig(weights=weights)
+    scored = build_triples(t, config)
+
+    # Recompute candidates (tokens+spans) for the oracle pass.
+    mentions = detect_mentions(t, config.gazetteer_rows)
+    pairs = generate_candidate_pairs(mentions, config.max_pairs_per_turn)
+    cand_rows = pairs.select(
+        "id", "tokens", "head_start", "head_end", "tail_start", "tail_end"
+    ).collect()
+    assert cand_rows, "no candidates generated"
+    oracle_labels = {
+        r["id"]: oracle_predict(
+            weights,
+            list(r["tokens"]),
+            (r["head_start"], r["head_end"]),
+            (r["tail_start"], r["tail_end"]),
+        )[0]
+        for r in cand_rows
+    }
+
+    got = {r["id"]: r["label"] for r in scored.select("id", "label").collect()}
+    assert set(got) == set(oracle_labels)
+    matches = sum(1 for k, v in got.items() if oracle_labels[k] == v)
+    precision = matches / len(got)
+    recall = matches / len(oracle_labels)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_planted_sentences_yield_reference_spans(spark):
+    """Every planted fixture turn must produce a candidate whose spans equal
+    the reference reader's inclusive spans (semeval2010_task8.py:95-96)."""
+    t = synthesize_transcripts(spark, n_convs=40)
+    mentions = detect_mentions(t, fixture_gazetteer_rows())
+    pairs = generate_candidate_pairs(mentions)
+    fixture = load_semeval_fixture()
+    by_text = {" ".join(ex["tokens"]): ex for ex in fixture}
+    planted = t.where(F.col("text").isin(list(by_text)))
+    n_planted = planted.count()
+    assert n_planted > 0
+
+    joined = pairs.join(
+        planted.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    )
+    rows = joined.collect()
+    hit_turns = set()
+    for r in rows:
+        ex = by_text[r["text"]]
+        (h0, h1e), (t0, t1e) = ex["entities"]
+        if (
+            (r["head_start"], r["head_end"]) == (h0, h1e - 1)
+            and (r["tail_start"], r["tail_end"]) == (t0, t1e - 1)
+        ):
+            hit_turns.add((r["conv_id"], r["turn_idx"]))
+    # every planted turn has the reference pair among its candidates
+    assert len(hit_turns) == n_planted
