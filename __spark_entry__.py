@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction pipeline: derive a transcript
+table deterministically from sf0.001 documents (with planted SemEval gold
+sentences), run mention detection → pair generation → CNN relation scoring
+→ canonicalization, return canonical (subj, pred, obj) triples.
+
+``queries()`` / ``oracle_sql()`` — operator registry from
+relex_spark.plans.driver_queries (SURVEY.md §2 coverage; each Spark query
+paired with an independent DuckDB formulation).
 """
 
 from __future__ import annotations
@@ -15,24 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, run_kg_pipeline
+    from relex_spark.sources.transcripts import transcripts_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = transcripts_from_documents(docs)
+    return run_kg_pipeline(spark, transcripts, KGPipelineConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from relex_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from relex_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

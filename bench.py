@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "kg": {...}}
+
+The KG pipeline is benchmarked on a transcript corpus synthesized at a
+size proportional to the scale factor (deterministic, partition-independent
+generation — see sources/transcripts.py); its triples/sec is the
+BASELINE.json headline metric and is reported under "kg".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_noop(df) -> None:
+    """Execute a DataFrame fully without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from relex_spark.session import get_spark
+    from relex_spark.plans.driver_queries import QUERIES
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples, run_kg_pipeline
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark("relex_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline operator queries over the driver testdata ---------------
+    bench_queries = [
+        "q1_pricing_summary",
+        "q3_order_revenue",
+        "v1_token_vocab",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "text_quality",
+        "events_tumbling_window",
+    ]
+    # warm-up: JVM/codegen/parquet footer caches (one cheap pass)
+    run_noop(QUERIES["p2_tokenize_roundtrip"](spark, sf_dir))
+
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        run_noop(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {timings[name]}s")
+
+    # --- flagship KG pipeline at sf-proportional transcript scale ---------
+    try:
+        li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    except Exception:  # noqa: BLE001
+        li_rows = 60_000
+    n_convs = max(200, li_rows // 100)
+
+    transcripts = synthesize_transcripts(spark, n_convs=n_convs)
+    transcripts.write.mode("overwrite").parquet("/tmp/relex_bench_transcripts")
+    tdf = spark.read.parquet("/tmp/relex_bench_transcripts")
+    n_turns = tdf.count()
+
+    config = KGPipelineConfig()
+    t0 = time.perf_counter()
+    scored = build_triples(tdf, config).cache()
+    n_triples = scored.count()
+    scored_sec = time.perf_counter() - t0
+    timings["kg_scored_triples"] = round(scored_sec, 3)
+
+    # canonicalization timed on the cached scored table (the pipeline's one
+    # wide stage), not a recompute of the narrow scoring chain
+    from relex_spark.operators.canonicalize import (
+        alias_edges_from_gazetteer,
+        canonicalize_triples,
+        connected_components,
+    )
+    from relex_spark.sources.transcripts import gazetteer_df
+
+    t0 = time.perf_counter()
+    components = connected_components(alias_edges_from_gazetteer(gazetteer_df(spark)))
+    canon = canonicalize_triples(scored, components)
+    n_canon = canon.count()
+    timings["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
+    scored.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg": {
+            "n_convs": n_convs,
+            "n_turns": n_turns,
+            "scored_triples": n_triples,
+            "canonical_triples": n_canon,
+            "triples_per_sec": round(n_triples / scored_sec, 1),
+            "turns_per_sec": round(n_turns / scored_sec, 1),
+        },
+        "config": {
+            "cpus": cpus,
+            "spark": spark.version,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

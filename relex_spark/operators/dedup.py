@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing uses the portable md5-prefix form (functions.text.portable_hash64)
+so results are engine-independent (DuckDB-oracle-checkable) AND
+partition-layout-independent — a requirement for deterministic re-runs at
+cluster scale.
+
+Scale design:
+* exact: one hash-groupBy; map-side partial agg; AQE coalesces output.
+* minhash LSH: per-row signature is a pure SQL expression (no UDF); band
+  buckets become join keys, so candidate generation is a self-equi-join on
+  (band, bucket-hash) — shuffle proportional to candidate pairs, never to
+  n². Verification joins back only the candidate pairs.
+* simhash: 16-bit portable signature via per-token md5 nibbles; Hamming
+  buckets by signature bands.
+* n-gram jaccard: blocked pairwise verify — used standalone on blocking
+  keys or as the verify stage after LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from relex_spark.functions.text import portable_hash64, split_ws
+
+MERSENNE = 2305843009213693951  # 2^61 - 1; signature values stay < 60 bits
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-groupBy; keep the minimum doc_id per group.
+
+    Output: text_hash, keep_id, n_dups."""
+    return (
+        docs.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics; consumers are
+    order-free: min-hash, intersection sizes)."""
+    toks = split_ws(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+# MinHash affine family over a 31-bit prime field: seed k rehashes a base
+# md5 value h as (a_k * (h % P) + b_k) % P — ONE md5 per shingle total.
+# (A first version hashed md5(k||shingle) per seed; the expression tree
+# repeated the md5 tower once per seed and compiled to pathological
+# codegen.) Products stay < 2^62, so 64-bit arithmetic never overflows in
+# either engine.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_a(k: int) -> int:
+    return 1_000_003 * (k + 1)
+
+
+def minhash_b(k: int) -> int:
+    return 12_345 + 777 * k
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature ARRAY<BIGINT>[num_hashes], single aggregate pass:
+
+        base   = [portable_hash64(s) % P for s in shingles]
+        sig[k] = min over base of (a_k * h + b_k) % P
+
+    Exactly reproducible in DuckDB (same constants/formula) for the oracle.
+    """
+    base = F.transform(shingles, lambda s: portable_hash64(s) % MINHASH_P)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(minhash_a(k)).cast("bigint").alias("a"),
+                F.lit(minhash_b(k)).cast("bigint").alias("b"),
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(num_hashes)])
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, s: F.least(m, (s["a"] * h + s["b"]) % MINHASH_P)
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    signature → split into ``bands`` bands of rows ``num_hashes/bands`` →
+    bucket key = (band_no, hash(band slice)) → self-join on bucket key.
+    Output: id_a < id_b candidate pairs with the matching band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(token_shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = with_sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # Materialize the bucket table once: the self-join would otherwise
+    # inline the signature expression into BOTH join sides (AQE may turn
+    # one side into a broadcast, defeating exchange reuse). localCheckpoint
+    # truncates lineage so each side scans the materialized partitions.
+    buckets = buckets.localCheckpoint(eager=False)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.band").alias("band"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("band").alias("first_band"))
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard similarity (verify stage).
+
+    Self-join within ``block_col`` (a blocking/bucket key — at scale this is
+    the LSH bucket, keeping the join linear in candidates)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        token_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """Portable 16-bit SimHash over word tokens.
+
+    Per bit i: sign of sum over tokens of (bit i of portable_hash64(token)
+    ? +1 : -1); bit set when the sum is positive. Pure SQL; oracle-checkable.
+    """
+    toks = split_ws(text)
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    powers16 = F.array(*[F.lit(2**b).cast("bigint") for b in range(16)])
+    # single aggregate pass: 16-wide vote vector updated per token (one md5
+    # per token; a per-bit aggregate would repeat the hash tower 16x).
+    # bit test via bitwiseAND against 2^b (shiftright needs a literal count)
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0).cast("bigint") for _ in range(16)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers16,
+            lambda v, pw: v + F.when(h.bitwiseAND(pw) != 0, 1).otherwise(-1),
+        ),
+    )
+    powers = F.array(*[F.lit(2**b).cast("bigint") for b in range(16)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+* ``cosine_topk`` — brute-force exact top-k: query set × corpus with the
+  dot product as a pure SQL ``aggregate(zip_with(...))`` (JVM-side, no
+  Python). Baseline and oracle-checkable.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
+  (signs of portable hashed projections), candidates restricted to matching
+  buckets, exact rerank within. Bucket assignment is pure SQL; at 100 TB
+  the corpus-side bucket id becomes a partition/bucket key so a query only
+  shuffles against its own buckets.
+
+Ranking determinism: rank on ROUND(cos, 6) with id tie-break, so float
+association order across engines cannot flip ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    The query side is expected to be small (broadcast); corpus scan is a
+    single pass, ranking via per-query window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int, seed: str = "lsh") -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1), pure SQL.
+
+    Plane p's normal components are deterministic pseudo-randoms
+    h(seed,p,j) mapped to ±1; the bucket bit is the projection's sign.
+    Engine-independent (md5-based), so corpus bucketing is reproducible
+    across runs and clusters — required for incremental index maintenance.
+    """
+    from relex_spark.functions.text import portable_hash64
+
+    bucket = F.lit(0).cast("int")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, j, pp=p: v.cast("double")
+                * F.when(
+                    portable_hash64(
+                        F.concat(F.lit(f"{seed}:{pp}:"), j.cast("string"))
+                    )
+                    % 2
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share the query's hyperplane bucket; exact cosine
+    rerank within the bucket. Recall < 1 by construction (probe only one
+    bucket); scale path for corpora where brute force is infeasible."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, (qb["bucket"] == cb["bucket"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -42,7 +42,7 @@ def build_label_vocab(labels_df: DataFrame, label_col: str = "label") -> DataFra
     """V2: distinct labels → contiguous ids by lexical order.
 
     Returns DataFrame(label STRING, id INT)."""
-    w = Window.orderBy(F.asc(label_col))
+    w = Window.orderBy(F.asc("label"))
     return (
         labels_df.select(F.col(label_col).alias("label"))
         .where(F.col("label").isNotNull())

@@ -1,0 +1,931 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY §2,
+as a (Spark callable, DuckDB oracle SQL) registry consumed by
+__spark_entry__.py.
+
+Parity rules (driver compares row count + schema + order-insensitive
+value hash at sf=0.01):
+
+* Column names identical on both sides (every computed column aliased).
+* Numeric outputs are DOUBLE on both sides; where a sum could differ by
+  float association order, values are either aggregated exactly in DECIMAL
+  first (TPC-H money math) or rounded well below the noise floor.
+* Deterministic hashes use the portable md5-prefix form
+  (functions.text.portable_hash64).
+* Every top-k is totally ordered (explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from relex_spark.functions.offsets import (
+    entity_marker_indicators,
+    relative_offset_indices,
+    sine_offset_indices,
+)
+from relex_spark.functions.pooling import pool_array, scoped_pool_array
+from relex_spark.functions.text import (
+    join_ws,
+    lower_tokens,
+    mask_entities,
+    normalize_glove_tokens,
+    portable_hash64,
+    split_ws,
+    truncate_tokens,
+)
+from relex_spark.metrics.f1 import EPS, f1_counts, f1_metrics
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Classical relational: joins + aggregations (E1-analogue counter aggs get
+# their workout below; these exercise shuffle agg, broadcast/shuffle joins,
+# predicate pushdown into the parquet scan).
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(12,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: map-side partial agg; money math in exact DECIMAL
+    (float association order would otherwise make the hash engine-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_order_revenue",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join (customer side
+    is small after the segment filter), shuffle agg, totally-ordered top-k."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        lineitem.join(
+            orders.join(
+                F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+            ).select("o_orderkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1/V2 vocabulary builds (reference §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v1_token_vocab",
+    r"""
+    WITH toks AS (
+        SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token HAVING COUNT(*) >= 2
+    )
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) + 1 AS INT) AS id
+    FROM counts
+    """,
+)
+def v1_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: AllenNLP Vocabulary as explode→count→min_count→row_number
+    (configs/.../baseline_cnn.jsonnet:109-112)."""
+    from relex_spark.operators.vocab import build_token_vocab
+
+    docs = _t(spark, sf_dir, "documents").select(split_ws("text").alias("tokens"))
+    return build_token_vocab(docs, min_count=2)
+
+
+@register(
+    "v2_label_vocab",
+    """
+    SELECT event_type AS label,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type ASC) - 1 AS INT) AS id
+    FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL)
+    """,
+)
+def v2_label_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: distinct → contiguous ids (basic_relation_classifier.py:88)."""
+    from relex_spark.operators.vocab import build_label_vocab
+
+    return build_label_vocab(_t(spark, sf_dir, "events"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# P-stage parity over documents.text (reference §2.2) — spans derived
+# deterministically from doc_id so the oracle can reproduce them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_tokenize_roundtrip",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') = text AS INT) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def p2_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: whitespace tokenize + rejoin — the per-turn text-equality
+    invariant column (semeval2010_task8.py:68,89)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = split_ws("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        (join_ws(toks) == F.col("text")).cast("int").alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "p4_entity_masking",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             toks[1:1] || ['__H__','__H__'] || toks[4:4] || ['__T__','__T__'] || toks[7:], ' ') AS masked_text
+    FROM t
+    WHERE len(toks) >= 6
+    """,
+)
+def p4_entity_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: length-preserving span masking (tacred.py:179-201); head span
+    (1,2), tail span (4,5), 0-based inclusive. Oracle reconstructs via
+    slice-concat — an independent formulation of the same semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = split_ws("text")
+    masked = mask_entities(
+        toks, F.lit(1), F.lit(2), F.lit(4), F.lit(5), F.lit("__H__"), F.lit("__T__")
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"), masked.alias("masked"))
+        .where(F.size("toks") >= 6)
+        .select("doc_id", join_ws(F.col("masked")).alias("masked_text"))
+    )
+
+
+@register(
+    "p5_p7_truncate_clamp",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:8], ' ') AS truncated_text,
+           CAST(LEAST(CAST(len(toks) AS INT) - 1, 7) AS INT) AS clamped_end,
+           CAST(LEAST(2, 7) AS INT) AS clamped_start
+    FROM t
+    """,
+)
+def p5_p7_truncate_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 truncation + P7 clamping with max_len=8
+    (semeval2010_task8.py:90,98-101)."""
+    from relex_spark.functions.text import clamp_span
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = split_ws("text")
+    return docs.select(
+        "doc_id",
+        join_ws(truncate_tokens(toks, 8)).alias("truncated_text"),
+        clamp_span(F.size(toks).cast("int") - 1, 8).alias("clamped_end"),
+        clamp_span(F.lit(2), 8).alias("clamped_start"),
+    )
+
+
+@register(
+    "p3_p8_normalize_lower",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               ['-LRB-','X'] || regexp_split_to_array(trim(text), '\s+')[1:5] || ['-RSB-'] AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(toks, x -> lower(CASE x
+                 WHEN '-LRB-' THEN '(' WHEN '-RRB-' THEN ')'
+                 WHEN '-LSB-' THEN '[' WHEN '-RSB-' THEN ']'
+                 WHEN '-LCB-' THEN '{' WHEN '-RCB-' THEN '}' ELSE x END)),
+             ' ') AS normalized_text
+    FROM t
+    """,
+)
+def p3_p8_normalize_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 GloVe bracket normalization + P8 lowercase (tacred.py:21-30;
+    single_id lowercase_tokens). Bracket tokens are injected around the
+    first 5 document tokens so the map path is actually exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.concat(
+        F.array(F.lit("-LRB-"), F.lit("X")),
+        F.slice(split_ws("text"), 1, 5),
+        F.array(F.lit("-RSB-")),
+    )
+    return docs.select(
+        "doc_id",
+        join_ws(lower_tokens(normalize_glove_tokens(toks))).alias("normalized_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4/M5/M6 offset-feature index arrays (reference §2.6) — n_position=100,
+# spans derived from doc_id so the oracle reproduces them: span_start =
+# doc_id % 4 + 1, span_end = span_start + 2, over min(n_tokens, 12) positions.
+# ---------------------------------------------------------------------------
+
+_ORACLE_POSITIONS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT), 12) AS seq_len,
+               CAST(doc_id % 4 + 1 AS INT) AS s,
+               CAST(doc_id % 4 + 3 AS INT) AS e
+        FROM documents
+    )
+"""
+
+
+@register(
+    "m4_relative_offsets",
+    _ORACLE_POSITIONS
+    + """
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, seq_len), p -> CAST(101 +
+               CASE WHEN p < s THEN p - s WHEN p > e THEN p - e ELSE 0 END AS VARCHAR)),
+             ',') AS head_offset_indices
+    FROM t
+    """,
+)
+def m4_relative_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: relative-offset embedding indices
+    (relative_offset_embedder.py:40-48), 1+n_position+clamped delta."""
+    docs = _t(spark, sf_dir, "documents")
+    seq_len = F.least(F.size(split_ws("text")).cast("int"), F.lit(12))
+    s = (F.col("doc_id") % 4 + 1).cast("int")
+    e = s + 2
+    idx = relative_offset_indices(seq_len, s, e, n_position=100)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(idx, lambda x: x.cast("string")), ",").alias(
+            "head_offset_indices"
+        ),
+    )
+
+
+@register(
+    "m5_sine_offsets",
+    _ORACLE_POSITIONS
+    + """
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, seq_len), p -> CAST(101 + p - s AS VARCHAR)),
+             ',') AS sine_offset_indices
+    FROM t
+    """,
+)
+def m5_sine_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: sinusoidal-table indices (sine_offset_embedder.py:53-55)."""
+    docs = _t(spark, sf_dir, "documents")
+    seq_len = F.least(F.size(split_ws("text")).cast("int"), F.lit(12))
+    s = (F.col("doc_id") % 4 + 1).cast("int")
+    idx = sine_offset_indices(seq_len, s, n_position=100)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(idx, lambda x: x.cast("string")), ",").alias(
+            "sine_offset_indices"
+        ),
+    )
+
+
+@register(
+    "m6_entity_marker",
+    _ORACLE_POSITIONS
+    + """
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, seq_len), p -> CAST(CASE WHEN p = s THEN 1 ELSE 0 END AS VARCHAR)),
+             ',') AS entity_markers
+    FROM t
+    """,
+)
+def m6_entity_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: entity-position indicator (entity_only_offset_embedder.py:33-38)."""
+    docs = _t(spark, sf_dir, "documents")
+    seq_len = F.least(F.size(split_ws("text")).cast("int"), F.lit(12))
+    s = (F.col("doc_id") % 4 + 1).cast("int")
+    idx = entity_marker_indicators(seq_len, s)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(idx, lambda x: x.cast("string")), ",").alias(
+            "entity_markers"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M14/M15 pooling over embeddings (reference §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m14_pool",
+    """
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_sum(v), 5) AS pool_sum,
+           ROUND(list_sum(v) / len(v), 5) AS pool_mean,
+           ROUND(list_max(v), 5) AS pool_max,
+           ROUND(v[-1], 5) AS pool_final
+    FROM t
+    """,
+)
+def m14_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: max/mean/sum/final pooling (seq2vec_encoders/utils.py:16-30)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(pool_array(v, "sum"), 5).alias("pool_sum"),
+        F.round(pool_array(v, "mean"), 5).alias("pool_mean"),
+        F.round(pool_array(v, "max"), 5).alias("pool_max"),
+        F.round(pool_array(v, "final"), 5).alias("pool_final"),
+    )
+
+
+@register(
+    "m15_scoped_pool",
+    """
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(vec_id % 8 AS INT) AS s
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_sum(v[s + 1 : s + 4]), 5) AS head_sum,
+           ROUND(list_max(v[s + 1 : s + 4]), 5) AS head_max
+    FROM t
+    """,
+)
+def m15_scoped_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: pooling under a span scope (utils.py:33-73) — span
+    [s, s+4) with s = vec_id % 8 (0-based; oracle slice is 1-based)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    s = (F.col("vec_id") % 8).cast("int")
+    return emb.select(
+        "vec_id",
+        F.round(scoped_pool_array(v, "sum", s, s + 3), 5).alias("head_sum"),
+        F.round(scoped_pool_array(v, "max", s, s + 3), 5).alias("head_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1/E2/E3/E7 metric aggregations (reference §2.7). Gold = event_type;
+# pred = deterministic SQL rule (value-threshold label flip) so both engines
+# derive the identical prediction column.
+# ---------------------------------------------------------------------------
+
+_PRED_RULE = """
+    SELECT event_type AS gold,
+           CASE WHEN value > 50
+                THEN event_type
+                ELSE (CASE event_type WHEN 'click' THEN 'view' ELSE 'click' END)
+           END AS pred
+    FROM events
+"""
+
+
+def _gold_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("gold"),
+        F.when(F.col("value") > 50, F.col("event_type"))
+        .otherwise(
+            F.when(F.col("event_type") == "click", F.lit("view")).otherwise(
+                F.lit("click")
+            )
+        )
+        .alias("pred"),
+    )
+
+
+@register(
+    "e1_f1_counts",
+    f"""
+    WITH gp AS ({_PRED_RULE}),
+    contrib AS (
+        SELECT gold AS label,
+               CASE WHEN pred = gold THEN 1 ELSE 0 END AS tp,
+               0 AS fp,
+               CASE WHEN pred <> gold THEN 1 ELSE 0 END AS fn
+        FROM gp
+        UNION ALL
+        SELECT pred AS label, 0, CASE WHEN pred <> gold THEN 1 ELSE 0 END, 0
+        FROM gp
+    )
+    SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+    FROM contrib GROUP BY label
+    """,
+)
+def e1_f1_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: one-vs-rest TP/FP/FN counters (f1_measure.py:32-83) as a
+    partial+final hash aggregation."""
+    return f1_counts(_gold_pred(spark, sf_dir))
+
+
+@register(
+    "e2_f1_metrics",
+    f"""
+    WITH gp AS ({_PRED_RULE}),
+    contrib AS (
+        SELECT gold AS label,
+               CASE WHEN pred = gold THEN 1 ELSE 0 END AS tp,
+               0 AS fp,
+               CASE WHEN pred <> gold THEN 1 ELSE 0 END AS fn
+        FROM gp
+        UNION ALL
+        SELECT pred AS label, 0, CASE WHEN pred <> gold THEN 1 ELSE 0 END, 0
+        FROM gp
+    ),
+    counts AS (
+        SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+        FROM contrib GROUP BY label
+    )
+    SELECT label,
+           ROUND(tp / (tp + fp + 1e-13), 6) AS precision,
+           ROUND(tp / (tp + fn + 1e-13), 6) AS recall,
+           ROUND(2.0 * (tp / (tp + fp + 1e-13)) * (tp / (tp + fn + 1e-13))
+                 / (tp / (tp + fp + 1e-13) + tp / (tp + fn + 1e-13) + 1e-13), 6) AS f1
+    FROM counts
+    """,
+)
+def e2_f1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: per-label P/R/F1 with the reference's 1e-13 smoothing
+    (f1_measure.py:155-162)."""
+    m = f1_metrics(f1_counts(_gold_pred(spark, sf_dir)))
+    return m.select(
+        "label",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+@register(
+    "e3_tacred_micro",
+    f"""
+    WITH gp AS ({_PRED_RULE}),
+    c AS (
+        SELECT SUM(CASE WHEN pred <> 'view' THEN 1 ELSE 0 END) AS guessed,
+               SUM(CASE WHEN gold <> 'view' THEN 1 ELSE 0 END) AS gold_n,
+               SUM(CASE WHEN pred <> 'view' AND gold = pred THEN 1 ELSE 0 END) AS correct
+        FROM gp
+    )
+    SELECT ROUND(correct / guessed, 6) AS precision,
+           ROUND(correct / gold_n, 6) AS recall,
+           ROUND(2.0 * (correct / guessed) * (correct / gold_n)
+                 / ((correct / guessed) + (correct / gold_n)), 6) AS f1
+    FROM c
+    """,
+)
+def e3_tacred_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: TACRED micro P/R/F1 excluding the null label
+    (tacred_evaluation.py:20-34,84-94) — 'view' stands in for no_relation."""
+    gp = _gold_pred(spark, sf_dir)
+    c = gp.agg(
+        F.sum(F.when(F.col("pred") != "view", 1).otherwise(0)).alias("guessed"),
+        F.sum(F.when(F.col("gold") != "view", 1).otherwise(0)).alias("gold_n"),
+        F.sum(
+            F.when((F.col("pred") != "view") & (F.col("gold") == F.col("pred")), 1)
+            .otherwise(0)
+        ).alias("correct"),
+    )
+    p = F.col("correct") / F.col("guessed")
+    r = F.col("correct") / F.col("gold_n")
+    return c.select(
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+@register(
+    "e7_trial_summary",
+    """
+    SELECT event_type AS experiment,
+           ROUND(AVG(value), 4) AS mean_value,
+           ROUND(stddev_pop(value), 4) AS std_value,
+           COUNT(*) AS n_trials
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e7_trial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: mean/stddev summary across trials (scripts/summary.py:49-99)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("experiment")).agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_pop("value"), 4).alias("std_value"),
+        F.count(F.lit(1)).alias("n_trials"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# (engine-side additions required by the build brief; each is a package
+# operator in relex_spark.operators.{dedup,similarity,textstats}).
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_CTE = rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(0, len(toks) - 2),
+                                     i -> array_to_string(toks[i+1:i+3], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (one shuffle, map-side partial agg)."""
+    from relex_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+        SELECT doc_id,
+               list_transform(shingles, s -> {_H64.format(x="s")} % 2147483647) AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), k ->
+                 list_min(list_transform(base, h ->
+                   ((1000003 * (k + 1)) * h + (12345 + 777 * k)) % 2147483647))) AS sig
+        FROM base
+    ),
+    buckets AS (
+        SELECT doc_id AS id, b.band AS band,
+               md5(CAST(sig[b.band*2+1] AS VARCHAR) || ',' || CAST(sig[b.band*2+2] AS VARCHAR)) AS bucket
+        FROM sig, (SELECT range AS band FROM range(0, 4)) b
+    )
+    SELECT l.id AS id_a, r.id AS id_b, MIN(l.band) AS first_band
+    FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+    GROUP BY l.id, r.id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes)+LSH(4 bands) near-dup candidate pairs — the
+    signature is pure SQL (portable md5 hashing), candidates come from a
+    band-bucket self-equi-join (shuffle ∝ candidates, never n²)."""
+    from relex_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLES_CTE
+    + """
+    , blocked AS (
+        SELECT d.doc_id AS id, d.lang || '|' || d.source AS block, s.shingles AS sh
+        FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise 3-gram Jaccard (the verify stage of near-dup
+    dedup; block key (lang, source) stands in for the LSH bucket)."""
+    from relex_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", "source")
+    )
+    return jaccard_pairs(docs, "block", threshold=0.05)
+
+
+def _simhash_oracle() -> str:
+    h = _H64.format(x="t")
+    votes = ", ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) AS v{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    return rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hh AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM t),
+    vv AS (SELECT doc_id, {votes} FROM hh)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM vv
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit SimHash per document (near-dup bucketing key)."""
+    from relex_spark.operators.dedup import simhash16
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+        FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 (exact ANN baseline): broadcast query set ×
+    corpus, dot product as JVM-side aggregate(zip_with) — no Python."""
+    from relex_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, k=3)
+
+
+@register(
+    "text_quality",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS total_len,
+               len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS alpha,
+               len(list_filter(toks, t -> lower(t) IN ('the','and','of','to','a','in','is'))) AS stop
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((CAST(total_len AS DOUBLE) / n_tokens) * 1000000 + 0.5) AS BIGINT) AS mean_token_len_u6,
+           CAST(floor((CAST(alpha AS DOUBLE) / n_tokens) * 1000000 + 0.5) AS BIGINT) AS alpha_ratio_u6,
+           CAST(floor((CAST(stop AS DOUBLE) / n_tokens) * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_u6,
+           CAST(floor(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 * (CAST(alpha AS DOUBLE) / n_tokens)
+                 * (0.5 + 0.5 * (CAST(stop AS DOUBLE) / n_tokens)) * 1000000 + 0.5) AS BIGINT) AS quality_u6
+    FROM f
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/alpha/stopword features + composite score."""
+    from relex_spark.operators.textstats import (
+        micro_units,
+        quality_features,
+        quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        micro_units(feats["mean_token_len"]).alias("mean_token_len_u6"),
+        micro_units(feats["alpha_ratio"]).alias("alpha_ratio_u6"),
+        micro_units(feats["stopword_ratio"]).alias("stopword_ratio_u6"),
+        micro_units(quality_score(F.col("text"))).alias("quality_u6"),
+    )
+
+
+def _langid_oracle() -> str:
+    from relex_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(toks, t -> lower(t) IN ({words}))) AS h_{lang}".format(
+            words=",".join(f"'{w}'" for w in STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # tie-break: largest lang code wins (matches array_max on (hits, lang))
+    case = "CASE "
+    for lang in reversed(langs):
+        others = [f"h_{o}" for o in langs if o != lang]
+        if others:
+            cond = " AND ".join(f"h_{lang} >= {o}" for o in others)
+            case += f"WHEN {cond} THEN '{lang}' "
+    case += f"ELSE '{langs[0]}' END"
+    greatest = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    return rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, {hits} FROM t)
+    SELECT doc_id,
+           CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END AS lang_pred
+    FROM h
+    """
+
+
+@register("text_lang_id", _langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, deterministic ties)."""
+    from relex_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish pre-tokenizer regex."""
+    from relex_spark.operators.textstats import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")
+    )
+
+
+@register(
+    "text_fingerprint",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(length(t)*131 + ascii(substr(t,1,1)) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    from relex_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Window/time + dedupe-cache analogues over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregation (batch form of the streaming
+    windowed agg; the streaming module reuses this grouping)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "e8_rep_cache_dedupe",
+    """
+    SELECT user_id, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def e8_rep_cache_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 analogue: id-keyed representation-cache dedupe
+    (probing_task_evaluation.py:127-160 dedupes instances by id)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

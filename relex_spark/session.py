@@ -63,6 +63,10 @@ def get_spark(
         # Deterministic timestamps across engines/timezones.
         "spark.sql.session.timeZone": "UTC",
         "spark.driver.memory": os.environ.get("RELEX_DRIVER_MEM", "8g"),
+        # Long sessions compile many large whole-stage-codegen methods; an
+        # exhausted JVM code cache silently falls back to interpreted
+        # execution (observed 3-6x slowdowns late in bench sessions).
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
         "spark.ui.enabled": "false",
     }
     if extra_conf:

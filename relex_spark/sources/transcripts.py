@@ -177,6 +177,36 @@ def synthesize_transcripts(
     )
 
 
+def transcripts_from_documents(docs: DataFrame, convs: int = 40) -> DataFrame:
+    """Derive a transcript table deterministically from a documents table
+    (driver testdata): conv = doc_id % convs, turn order by doc_id; a
+    hash-seeded third of turns carries a planted SemEval gold sentence, the
+    rest carry the document text. Same determinism rules as
+    synthesize_transcripts (pure function of doc_id)."""
+    sentences = [" ".join(ex["tokens"]) for ex in load_semeval_fixture()]
+    sent_array = F.array(*[F.lit(s) for s in sentences])
+
+    d = docs.withColumn("doc_hash", F.expr(_hash_expr("doc_id")))
+    planted = F.col("doc_hash") % PLANT_EVERY == 0
+    sent_idx = (F.col("doc_hash") % len(sentences) + 1).cast("int")
+    text = F.when(planted, F.element_at(sent_array, sent_idx)).otherwise(F.col("text"))
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.concat(F.lit("conv-"), F.col("doc_id") % convs).alias("conv_id"),
+        (F.col("doc_id") / convs).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("doc_id") % convs) * 100_000
+            + (F.col("doc_id") / convs).cast("int") * 60
+        ).alias("ts"),
+    )
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Scan a persisted transcript table (parquet layout; Iceberg when a
     catalog is configured — see sinks.write_stage for the commit protocol)."""
