@@ -929,3 +929,140 @@ def e8_rep_cache_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "dedup_lsh_verified",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+        SELECT doc_id,
+               list_transform(shingles, s -> {_H64.format(x="s")} % 2147483647) AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), k ->
+                 list_min(list_transform(base, h ->
+                   ((1000003 * (k + 1)) * h + (12345 + 777 * k)) % 2147483647))) AS sig
+        FROM base
+    ),
+    buckets AS (
+        SELECT doc_id AS id, b.band AS band,
+               md5(CAST(sig[b.band*2+1] AS VARCHAR) || ',' || CAST(sig[b.band*2+2] AS VARCHAR)) AS bucket
+        FROM sig, (SELECT range AS band FROM range(0, 4)) b
+    ),
+    cand AS (
+        SELECT l.id AS id_a, r.id AS id_b
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        GROUP BY l.id, r.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.03
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: LSH candidate generation → exact Jaccard
+    verification join — shuffle is proportional to candidate pairs only
+    (the scale shape for trillion-row dedup)."""
+    from relex_spark.operators.dedup import minhash_lsh_candidates, token_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    sh = docs.select(
+        F.col("doc_id"), token_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
+        .join(b, cands["id_b"] == F.col("b.doc_id"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.03)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle): the KG pipeline itself and the
+# dependency-graph path — genuinely non-SQL-expressible ops (iterative CC,
+# mapInPandas scoring, per-sentence tree pruning). The driver records the
+# weaker rows-only check; correctness is pinned by tests/ goldens instead.
+# ---------------------------------------------------------------------------
+
+
+def _fixture_path(name: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "data", name)
+
+
+@register("kg_canonical_triples")
+def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: transcripts (derived from documents) → canonical triples."""
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, run_kg_pipeline
+    from relex_spark.sources.transcripts import transcripts_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_kg_pipeline(spark, transcripts_from_documents(docs), KGPipelineConfig())
+
+
+@register("kg_scored_candidates")
+def kg_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-canonicalization scored candidates (mapInPandas CNN kernel)."""
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+    from relex_spark.sources.transcripts import transcripts_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_triples(transcripts_from_documents(docs), KGPipelineConfig())
+
+
+@register("g_adjacency_edges")
+def g_adjacency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G4: SDP-pruned dependency adjacency on the TACRED fixture
+    (golden-pinned in tests/test_adjacency.py against the reference's 77/37
+    edge lists)."""
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+
+    cands = tacred_to_candidates(
+        read_tacred_json(spark, _fixture_path("tacred_fixture.json")), max_len=100
+    )
+    out = with_adjacency(cands, prune=1, max_len=100)
+    return out.select(
+        "id",
+        F.size("adjacency").alias("n_edges"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("adjacency"),
+                lambda e: F.concat_ws(",", e["src"].cast("string"), e["dst"].cast("string")),
+            ),
+        ).alias("edges"),
+    )
+
+
+@register("m12_gcn_scored")
+def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: GCN-encoder relation scoring over the TACRED fixture with
+    SDP-pruned adjacency (oracle-parity pinned in tests/test_gcn.py)."""
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+
+    cands = tacred_to_candidates(
+        read_tacred_json(spark, _fixture_path("tacred_fixture.json")), max_len=100
+    )
+    with_adj = with_adjacency(cands, prune=1, max_len=100)
+    wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
+    return score_candidates(with_adj, wbc, keep_columns=["id"], encoder="gcn")

@@ -148,14 +148,15 @@ def gcn_encode(
     weights: list[np.ndarray],
     biases: list[np.ndarray],
 ) -> np.ndarray:
-    """M12: L× graph convolution out = relu(A·(X·W) / (rowdeg(A)+1))
-    (relex/modules/seq2vec_encoders/gcn.py:114-119), batched einsum.
-    Sentence-local graphs — no shuffle, pure per-batch tensor algebra."""
+    """M12: L× graph convolution out = relu((A·(X·W) + b) / (rowdeg(A)+1))
+    (gcn.py:48-55 adds the layer bias before the GCN.forward :114-119
+    degree division + activation), batched einsum. Sentence-local graphs —
+    no shuffle, pure per-batch tensor algebra."""
     h = x
     denom = adj.sum(axis=2, keepdims=True) + 1.0
     for w_l, b_l in zip(weights, biases):
-        ax_w = np.einsum("bij,bjd->bid", adj, h @ w_l)
-        h = np.maximum(ax_w / denom + b_l, 0.0)
+        ax_w = np.einsum("bij,bjd->bid", adj, h @ w_l) + b_l
+        h = np.maximum(ax_w / denom, 0.0)
     return h.astype(np.float32)
 
 
@@ -172,20 +173,39 @@ def forward_batch(
     head_spans: np.ndarray,
     tail_spans: np.ndarray,
     encoder: str = "cnn",
+    adjacency: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full forward pass for one micro-batch → (probs (B, C), argmax (B,)).
 
     Mirrors basic_relation_classifier.py:153-229 at inference: embed →
     offset embeds → concat → encoder → feedforward → softmax/argmax.
+    ``adjacency`` (per-row (src, dst) edge lists) is required for the GCN
+    encoder; densified per batch (G5), never materialized globally.
     """
     ids, lengths = pad_batch(ids_list)
     x = embed_batch(w, ids, lengths, head_spans, tail_spans)
+    ff_w, ff_b = w.ff_w, w.ff_b
     if encoder == "cnn":
         enc = cnn_encode(w, x, lengths)
     elif encoder == "boe_sum":
         enc = boe_encode(x, lengths, "sum")
+    elif encoder == "gcn":
+        if adjacency is None:
+            raise ValueError("gcn encoder requires adjacency edge lists")
+        b, lmax = ids.shape
+        adj = np.zeros((b, lmax, lmax), dtype=np.float32)
+        for i, edges in enumerate(adjacency):
+            if edges is None:
+                continue
+            for e in edges:
+                s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
+                if s < lmax and d < lmax:
+                    adj[i, s, d] = 1.0
+        h = gcn_encode(x, adj, w.extra["gcn_weights"], w.extra["gcn_biases"])
+        enc = scoped_pool_batch(h, lengths, head_spans, tail_spans, "max")
+        ff_w, ff_b = w.extra["gcn_ff_w"], w.extra["gcn_ff_b"]
     else:
         raise ValueError(f"unknown encoder {encoder!r}")
-    logits = enc @ w.ff_w + w.ff_b
+    logits = enc @ ff_w + ff_b
     probs = softmax(logits)
     return probs, probs.argmax(axis=-1)

@@ -54,6 +54,8 @@ def score_candidates(
     ``keep_columns`` (default: all non-feature columns) pass through.
     """
     feature_cols = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
+    if encoder == "gcn":
+        feature_cols.append("adjacency")  # per-row edge lists (G1-G4 output)
     if keep_columns is None:
         keep_columns = [c for c in candidates.columns if c not in feature_cols]
 
@@ -79,7 +81,10 @@ def score_candidates(
             ids_list = [w.token_ids(list(toks)) for toks in pdf["tokens"]]
             head = pdf[["head_start", "head_end"]].to_numpy(dtype=np.int64)
             tail = pdf[["tail_start", "tail_end"]].to_numpy(dtype=np.int64)
-            probs, argmax = forward_batch(w, ids_list, head, tail, encoder=encoder)
+            adjacency = list(pdf["adjacency"]) if encoder == "gcn" else None
+            probs, argmax = forward_batch(
+                w, ids_list, head, tail, encoder=encoder, adjacency=adjacency
+            )
             out = pdf[keep_columns].copy()
             out["label"] = labels[argmax]
             out["score"] = probs.max(axis=-1).astype(np.float32)

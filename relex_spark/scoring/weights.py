@@ -122,7 +122,29 @@ def build_fixture_weights(
     ff_w *= np.float32(1.0 / np.sqrt(d_enc))
     ff_b = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
 
+    # M12 GCN head (optional encoder path): 2 graph-conv layers + a linear
+    # head over the 3-scope pooled representation (gcn.py:75-78 defaults).
+    gcn_hidden = num_filters
+    gcn_ws, gcn_bs = [], []
+    gcn_in = d_in
+    for _ in range(2):
+        wl = rng.standard_normal((gcn_in, gcn_hidden), dtype=np.float32)
+        wl *= np.float32(1.0 / np.sqrt(gcn_in))
+        gcn_ws.append(wl)
+        gcn_bs.append(rng.standard_normal(gcn_hidden, dtype=np.float32) * 0.1)
+        gcn_in = gcn_hidden
+    gcn_ff_w = rng.standard_normal((3 * gcn_hidden, len(labels)), dtype=np.float32)
+    gcn_ff_w *= np.float32(1.0 / np.sqrt(3 * gcn_hidden))
+    gcn_ff_b = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+    extra = {
+        "gcn_weights": gcn_ws,
+        "gcn_biases": gcn_bs,
+        "gcn_ff_w": gcn_ff_w,
+        "gcn_ff_b": gcn_ff_b,
+    }
+
     return ModelWeights(
+        extra=extra,
         token_to_id=token_to_id,
         labels=list(labels),
         emb=emb,

@@ -25,6 +25,42 @@ def _offset_index(p: int, start: int, end: int, n_position: int) -> int:
     return 1 + n_position
 
 
+def _feature_rows(
+    w: ModelWeights,
+    tokens: list[str],
+    head: tuple[int, int],
+    tail: tuple[int, int],
+) -> list[list[float]]:
+    """M1 + M4 + M7: per-position concatenated feature vectors."""
+    ids = [
+        w.token_to_id.get(t.lower() if w.lowercase else t, OOV_ID) for t in tokens
+    ]
+    rows: list[list[float]] = []
+    for p in range(len(ids)):
+        vec = list(map(float, w.emb[ids[p]]))
+        hi = _offset_index(p, head[0], head[1], w.n_position)
+        ti = _offset_index(p, tail[0], tail[1], w.n_position)
+        vec += list(map(float, w.head_offset_emb[hi]))
+        vec += list(map(float, w.tail_offset_emb[ti]))
+        rows.append(vec)
+    return rows
+
+
+def _softmax_label(w: ModelWeights, enc: list[float], ff_w, ff_b):
+    logits = []
+    for c in range(ff_w.shape[1]):
+        acc = float(ff_b[c])
+        for d, ev in enumerate(enc):
+            acc += ev * float(ff_w[d, c])
+        logits.append(acc)
+    m = max(logits)
+    exps = [math.exp(z - m) for z in logits]
+    total = sum(exps)
+    probs = [e / total for e in exps]
+    best_c = max(range(len(probs)), key=probs.__getitem__)
+    return w.labels[best_c], probs
+
+
 def oracle_predict(
     w: ModelWeights,
     tokens: list[str],
@@ -32,20 +68,8 @@ def oracle_predict(
     tail: tuple[int, int],
 ) -> tuple[str, list[float]]:
     """Forward one example: returns (label, class_probabilities)."""
-    ids = [
-        w.token_to_id.get(t.lower() if w.lowercase else t, OOV_ID) for t in tokens
-    ]
-    length = len(ids)
-
-    # M1 + M4 + M7: per-position concatenated feature vector
-    rows: list[list[float]] = []
-    for p in range(length):
-        vec = list(map(float, w.emb[ids[p]]))
-        hi = _offset_index(p, head[0], head[1], w.n_position)
-        ti = _offset_index(p, tail[0], tail[1], w.n_position)
-        vec += list(map(float, w.head_offset_emb[hi]))
-        vec += list(map(float, w.tail_offset_emb[ti]))
-        rows.append(vec)
+    rows = _feature_rows(w, tokens, head, tail)
+    length = len(rows)
 
     # M8: CNN (ReLU + max over valid windows; short rows -> relu(bias))
     enc: list[float] = []
@@ -70,15 +94,54 @@ def oracle_predict(
             enc += [max(float(b), 0.0) for b in bk]
 
     # M16 + M18: linear head, softmax, argmax
-    logits = []
-    for c in range(w.ff_w.shape[1]):
-        acc = float(w.ff_b[c])
-        for d, ev in enumerate(enc):
-            acc += ev * float(w.ff_w[d, c])
-        logits.append(acc)
-    m = max(logits)
-    exps = [math.exp(z - m) for z in logits]
-    total = sum(exps)
-    probs = [e / total for e in exps]
-    best_c = max(range(len(probs)), key=probs.__getitem__)
-    return w.labels[best_c], probs
+    return _softmax_label(w, enc, w.ff_w, w.ff_b)
+
+
+def oracle_predict_gcn(
+    w: ModelWeights,
+    tokens: list[str],
+    head: tuple[int, int],
+    tail: tuple[int, int],
+    edges: list[tuple[int, int]],
+) -> tuple[str, list[float]]:
+    """M12 path: GCN layers (relu((A·XW + b)/(deg+1)), gcn.py:48-55,114-119)
+    + 3-scope max pooling + linear head — per-row loops, no numpy batching."""
+    rows = _feature_rows(w, tokens, head, tail)
+    length = len(rows)
+    adj = [[0.0] * length for _ in range(length)]
+    for s, d in edges:
+        if s < length and d < length:
+            adj[s][d] = 1.0
+    deg = [sum(adj[i]) + 1.0 for i in range(length)]
+
+    h = rows
+    for wl, bl in zip(w.extra["gcn_weights"], w.extra["gcn_biases"]):
+        din, dout = wl.shape
+        support = [
+            [sum(h[i][k] * float(wl[k, o]) for k in range(din)) for o in range(dout)]
+            for i in range(length)
+        ]
+        nxt = []
+        for i in range(length):
+            row = []
+            for o in range(dout):
+                acc = float(bl[o])
+                for j in range(length):
+                    if adj[i][j]:
+                        acc += support[j][o]
+                row.append(max(acc / deg[i], 0.0))
+            nxt.append(row)
+        h = nxt
+
+    def pool_max(lo: int, hi: int) -> list[float]:
+        return [
+            max(h[i][o] for i in range(lo, hi + 1))
+            for o in range(len(h[0]))
+        ]
+
+    enc = (
+        pool_max(0, length - 1)
+        + pool_max(head[0], min(head[1], length - 1))
+        + pool_max(tail[0], min(tail[1], length - 1))
+    )
+    return _softmax_label(w, enc, w.extra["gcn_ff_w"], w.extra["gcn_ff_b"])
