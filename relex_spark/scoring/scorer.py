@@ -60,7 +60,11 @@ def score_candidates(
         keep_columns = [c for c in candidates.columns if c not in feature_cols]
 
     in_df = candidates.select(*keep_columns, *feature_cols)
-    if bucket_by_length:
+    # B1 bucket-iterator analogue: reduces padding waste, never changes
+    # results (kernel outputs are batch-independent). Sorting isn't allowed
+    # on streaming DataFrames — skipped there (only padding efficiency is
+    # lost; semantics identical).
+    if bucket_by_length and not candidates.isStreaming:
         in_df = in_df.sortWithinPartitions(F.size("tokens"))
 
     out_fields = [in_df.schema[c] for c in keep_columns]

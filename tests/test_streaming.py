@@ -1,0 +1,110 @@
+"""Streaming surface: the batch stage functions run unchanged on a stream
+(availableNow), results equal the batch run; watermarked window agg drops
+late data."""
+
+import datetime
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+from relex_spark.sources.transcripts import synthesize_transcripts
+from relex_spark.streaming.pipeline import (
+    run_streaming_triples,
+    stream_transcripts,
+    streaming_window_counts,
+)
+
+
+def test_streaming_triples_equal_batch(spark):
+    tmp = tempfile.mkdtemp(prefix="relex_stream_")
+    in_dir, out_dir, ck_dir = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    try:
+        t = synthesize_transcripts(spark, n_convs=20)
+        t.write.mode("overwrite").parquet(in_dir)
+
+        q = run_streaming_triples(
+            stream_transcripts(spark, in_dir), out_dir, ck_dir, KGPipelineConfig()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r["id"], r["label"])
+            for r in spark.read.parquet(out_dir).select("id", "label").collect()
+        }
+        expected = {
+            (r["id"], r["label"])
+            for r in build_triples(spark.read.parquet(in_dir), KGPipelineConfig())
+            .select("id", "label")
+            .collect()
+        }
+        assert got == expected and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_window_counts_drops_late_rows(spark):
+    tmp = tempfile.mkdtemp(prefix="relex_late_")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [(base + datetime.timedelta(minutes=m), et, float(v)) for m, et, v in batch],
+            "ts timestamp, event_type string, value double",
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(f"{tmp}/in")
+        agg = streaming_window_counts(stream, "5 minutes", "10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        # batch 1: events up to t+60min -> watermark advances to t+50min
+        rows([(0, "click", 1), (2, "click", 1), (60, "view", 1)]).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        run_once()
+
+        # batch 2: a VERY late click at t+1min — behind the watermark, must
+        # be dropped; its arrival also flushes finalized windows
+        rows([(1, "click", 1)]).write.mode("append").parquet(f"{tmp}/in")
+        run_once()
+        # one more empty-ish cycle so all finalized windows are emitted
+        rows([(120, "view", 1)]).write.mode("append").parquet(f"{tmp}/in")
+        run_once()
+
+        out = spark.read.parquet(f"{tmp}/out").collect()
+        first_win = [
+            r
+            for r in out
+            if r["event_type"] == "click" and r["window_start"] == base
+        ]
+        # the [0,5) click window reports exactly the 2 on-time events; the
+        # late row neither created a duplicate window nor bumped the count
+        assert len(first_win) == 1, out
+        assert first_win[0]["n_events"] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_plan_is_stateless_before_sink(spark):
+    # the scoring chain must not introduce a stateful operator or shuffle
+    tmp = tempfile.mkdtemp(prefix="relex_plan_")
+    try:
+        synthesize_transcripts(spark, n_convs=2).write.parquet(f"{tmp}/in")
+        stream = stream_transcripts(spark, f"{tmp}/in")
+        scored = build_triples(stream, KGPipelineConfig())
+        assert scored.isStreaming
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
