@@ -141,7 +141,8 @@ def canonicalize_triples(
 
     if salt_buckets > 0:
         salted = t.withColumn(
-            "_salt", (F.abs(F.hash("id")) % salt_buckets).cast("int")
+            "_salt",
+            (F.abs(F.hash("id").cast("bigint")) % salt_buckets).cast("int"),
         )
         partial = salted.groupBy("subj", "pred", "obj", "_salt").agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -143,7 +143,12 @@ def synthesize_transcripts(
             lambda i: F.element_at(
                 filler_array,
                 (
-                    F.abs(F.hash(F.col("turn_hash").cast("string"), i.cast("string")))
+                    # cast before abs: abs(Int.MinValue) overflows under ANSI
+                    F.abs(
+                        F.hash(
+                            F.col("turn_hash").cast("string"), i.cast("string")
+                        ).cast("bigint")
+                    )
                     % len(_FILLER_WORDS)
                     + 1
                 ).cast("int"),

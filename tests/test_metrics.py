@@ -1,0 +1,109 @@
+"""E1–E4/E7 metric parity: hand-computed goldens + replication of the
+reference's exact math quirks (1e-13 smoothing; macro average NOT excluding
+ignore_label, f1_measure.py:128-146; TACRED guessed/gold/correct counters,
+tacred_evaluation.py:20-34)."""
+
+import math
+
+from relex_spark.metrics.f1 import (
+    EPS,
+    f1_counts,
+    f1_metrics,
+    f1_overall,
+    semeval_official_f1,
+    tacred_micro_f1,
+    trial_summary,
+)
+
+# (gold, pred) — built so counts are easy to verify by hand:
+# A: 2 gold, 1 predicted correctly, 1 miscalled as B
+# B: 1 gold, predicted correctly; plus 1 false B (the A miss)
+# C: 1 gold, miscalled as no_relation
+# no_relation: 2 gold, 1 correct, 1 miscalled as A
+ROWS = [
+    ("A", "A"),
+    ("A", "B"),
+    ("B", "B"),
+    ("C", "no_relation"),
+    ("no_relation", "no_relation"),
+    ("no_relation", "A"),
+]
+
+
+def _joined(spark):
+    return spark.createDataFrame(ROWS, "gold string, pred string")
+
+
+def test_f1_counts_golden(spark):
+    counts = {r["label"]: (r["tp"], r["fp"], r["fn"]) for r in f1_counts(_joined(spark)).collect()}
+    assert counts == {
+        "A": (1, 1, 1),
+        "B": (1, 1, 0),
+        "C": (0, 0, 1),
+        "no_relation": (1, 1, 1),
+    }
+
+
+def test_f1_metrics_smoothing(spark):
+    m = {r["label"]: r for r in f1_metrics(f1_counts(_joined(spark))).collect()}
+    # exact reference formula incl. 1e-13 smoothing (f1_measure.py:155-162)
+    assert math.isclose(m["A"]["precision"], 1 / (2 + EPS), rel_tol=1e-12)
+    assert math.isclose(m["A"]["recall"], 1 / (2 + EPS), rel_tol=1e-12)
+    assert math.isclose(m["C"]["precision"], 0.0, abs_tol=1e-12)
+    assert math.isclose(m["B"]["recall"], 1 / (1 + EPS), rel_tol=1e-12)
+
+
+def test_macro_ignores_ignore_label_quirk(spark):
+    """The reference macro branch averages over ALL labels even when
+    ignore_label is set (f1_measure.py:128-146) — replicated exactly."""
+    metrics = f1_metrics(f1_counts(_joined(spark)))
+    macro_with = f1_overall(metrics, "macro", ignore_label="no_relation")
+    macro_without = f1_overall(metrics, "macro", ignore_label=None)
+    assert macro_with == macro_without  # the quirk: ignore_label is a no-op
+
+    # micro DOES honor ignore_label (f1_measure.py:113-121)
+    micro_with = f1_overall(metrics, "micro", ignore_label="no_relation")
+    micro_without = f1_overall(metrics, "micro", ignore_label=None)
+    assert micro_with != micro_without
+    # by hand, excluding no_relation: tp=2, fp=2, fn=2
+    assert math.isclose(micro_with["precision"], 2 / (4 + EPS), rel_tol=1e-12)
+    assert math.isclose(micro_with["recall"], 2 / (4 + EPS), rel_tol=1e-12)
+
+
+def test_tacred_micro_golden(spark):
+    """Hand check (tacred_evaluation.py counter rules on ROWS):
+    guessed (pred != no_relation) = 4; gold (gold != no_relation) = 4;
+    correct (both non-null, equal) = 2."""
+    m = tacred_micro_f1(_joined(spark))
+    assert math.isclose(m["precision"], 2 / 4)
+    assert math.isclose(m["recall"], 2 / 4)
+    assert math.isclose(m["f1"], 0.5)
+
+
+def test_semeval_official_directionality(spark):
+    """Directional confusion counts as FP+FN even though the class matches
+    after collapsing (e1,e2)/(e2,e1); Other excluded from the macro."""
+    rows = [
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e1,e2)"),   # exact hit
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e2,e1)"),   # wrong direction
+        ("Other", "Other"),
+        ("Member-Collection(e1,e2)", "Other"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    m = semeval_official_f1(df)
+    # Cause-Effect: tp=1, fp=1 (direction miss), fn=1 -> P=R=0.5
+    # Member-Collection: tp=0, fn=1 -> P=0, R=0
+    # macro over {Cause-Effect, Member-Collection}: P=0.25, R=0.25
+    assert math.isclose(m["precision"], 0.25, rel_tol=1e-9)
+    assert math.isclose(m["recall"], 0.25, rel_tol=1e-9)
+
+
+def test_trial_summary(spark):
+    trials = spark.createDataFrame(
+        [("exp1", 0.8, 0.6, 0.7), ("exp1", 0.6, 0.4, 0.5), ("exp2", 1.0, 1.0, 1.0)],
+        "experiment string, precision double, recall double, f1 double",
+    )
+    s = {r["experiment"]: r for r in trial_summary(trials).collect()}
+    assert math.isclose(s["exp1"]["mean_f1"], 0.6)
+    assert math.isclose(s["exp1"]["std_f1"], 0.1)  # population stddev
+    assert math.isclose(s["exp2"]["std_precision"], 0.0)

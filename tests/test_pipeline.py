@@ -1,0 +1,102 @@
+"""Pipeline-level invariants: checkpoint/resume equivalence, salted vs
+unsalted canonicalization parity, connected-components correctness, E5
+evaluation self-consistency."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from relex_spark.operators.canonicalize import (
+    canonicalize_triples,
+    connected_components,
+)
+from relex_spark.plans.evaluate import evaluate_candidates
+from relex_spark.plans.kg_pipeline import (
+    KGPipelineConfig,
+    build_triples,
+    run_kg_pipeline,
+    verify_text_invariant,
+)
+from relex_spark.scoring.scorer import broadcast_weights
+from relex_spark.sources.readers import read_semeval_jsonl, semeval_to_candidates
+from relex_spark.sources.transcripts import synthesize_transcripts
+
+
+def test_connected_components_minimum_label(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("lone", "lone")],
+        "src string, dst string",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"}
+
+
+def test_checkpoint_resume_equivalence(spark):
+    t = synthesize_transcripts(spark, n_convs=15)
+    ck = tempfile.mkdtemp(prefix="relex_ck_")
+    try:
+        cfg = KGPipelineConfig(checkpoint_dir=ck)
+        first = {
+            (r["subj"], r["pred"], r["obj"], r["support"])
+            for r in run_kg_pipeline(spark, t, cfg).collect()
+        }
+        # resume: scored stage must be read from the manifest-committed
+        # checkpoint, producing identical canonical triples
+        second = {
+            (r["subj"], r["pred"], r["obj"], r["support"])
+            for r in run_kg_pipeline(spark, t, cfg).collect()
+        }
+        assert first == second and first
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_salted_canonicalization_parity(spark):
+    t = synthesize_transcripts(spark, n_convs=15)
+    cfg = KGPipelineConfig()
+    scored = build_triples(t, cfg).cache()
+    from relex_spark.operators.canonicalize import alias_edges_from_gazetteer
+    from relex_spark.sources.transcripts import gazetteer_df
+
+    comp = connected_components(alias_edges_from_gazetteer(gazetteer_df(spark)))
+    comp = comp.localCheckpoint(eager=True)
+
+    plain = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in canonicalize_triples(scored, comp, salt_buckets=0).collect()
+    }
+    salted = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in canonicalize_triples(scored, comp, salt_buckets=8).collect()
+    }
+    scored.unpersist()
+    assert plain == salted and plain
+
+
+def test_text_invariant_holds_through_pipeline(spark):
+    t = synthesize_transcripts(spark, n_convs=10)
+    assert verify_text_invariant(t) == 0
+
+
+def test_e5_evaluation_self_consistency(spark):
+    """Scoring the fixture and evaluating against its own predictions as
+    gold must yield perfect scores (alignment-by-id sanity); against the
+    fixture's true labels the metrics are bounded in [0, 1]."""
+    cands = semeval_to_candidates(
+        read_semeval_jsonl(spark, "relex_spark/data/semeval_fixture.jsonl"), 100
+    )
+    weights = KGPipelineConfig().resolved_weights()
+    wbc = broadcast_weights(spark, weights)
+
+    from relex_spark.scoring.scorer import score_candidates
+
+    preds = score_candidates(cands.drop("label"), wbc, keep_columns=["id"])
+    self_gold = preds.select("id", F.col("label"))
+    perfect = evaluate_candidates(
+        cands.drop("label").join(self_gold, "id"), wbc, "semeval2010"
+    )
+    assert perfect["macro_f1"] > 0.999
+
+    real = evaluate_candidates(cands, wbc, "semeval2010")
+    assert 0.0 <= real["f1"] <= 1.0
