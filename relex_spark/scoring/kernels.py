@@ -189,6 +189,31 @@ def forward_batch(
         enc = cnn_encode(w, x, lengths)
     elif encoder == "boe_sum":
         enc = boe_encode(x, lengths, "sum")
+        ff_w = w.extra.get("boe_ff_w", ff_w)
+        ff_b = w.extra.get("boe_ff_b", ff_b)
+    elif encoder == "bilstm":
+        h = lstm_encode(x, lengths, w.extra["lstm_params"], w.extra["lstm_hidden"])
+        enc = boe_encode(h, lengths, "max")  # seq2seq_pool default scope
+        ff_w, ff_b = w.extra["lstm_ff_w"], w.extra["lstm_ff_b"]
+    elif encoder == "attention":
+        h = attention_encode(x, lengths, w.extra["attn_layers"], w.extra["attn_heads"])
+        enc = boe_encode(h, lengths, "max")
+        ff_w, ff_b = w.extra["attn_ff_w"], w.extra["attn_ff_b"]
+    elif encoder == "gat":
+        if adjacency is None:
+            raise ValueError("gat encoder requires adjacency edge lists")
+        b, lmax = ids.shape
+        adj = np.zeros((b, lmax, lmax), dtype=np.float32)
+        for i, edges in enumerate(adjacency):
+            if edges is None:
+                continue
+            for e in edges:
+                s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
+                if s < lmax and d < lmax:
+                    adj[i, s, d] = 1.0
+        h = gat_encode(x, adj, lengths, w.extra["gat_layers"], w.extra["gat_heads"])
+        enc = scoped_pool_batch(h, lengths, head_spans, tail_spans, "max")
+        ff_w, ff_b = w.extra["gat_ff_w"], w.extra["gat_ff_b"]
     elif encoder == "gcn":
         if adjacency is None:
             raise ValueError("gcn encoder requires adjacency edge lists")
@@ -209,3 +234,120 @@ def forward_batch(
     logits = enc @ ff_w + ff_b
     probs = softmax(logits)
     return probs, probs.argmax(axis=-1)
+
+
+def lstm_encode(
+    x: np.ndarray,
+    lengths: np.ndarray,
+    params: dict,
+    hidden: int,
+) -> np.ndarray:
+    """M9: bidirectional LSTM over the padded batch → (B, L, 2H), zeros at
+    padding (relex/modules/seq2vec_encoders/seq2seq_pool_encoder.py:34-52
+    wraps an AllenNLP LSTM Seq2Seq encoder; gate math is the standard
+    torch.nn.LSTM cell, gates ordered i,f,g,o).
+
+    Sequential over time by construction — batched GEMM per step keeps it
+    vectorized across rows; per-row masking freezes state past each row's
+    length so outputs are batch-independent.
+    """
+    b, lmax, _ = x.shape
+    out = np.zeros((b, lmax, 2 * hidden), dtype=np.float32)
+    for direction in (0, 1):
+        w_ih = params[f"w_ih_{direction}"]      # (D, 4H)
+        w_hh = params[f"w_hh_{direction}"]      # (H, 4H)
+        bias = params[f"b_{direction}"]         # (4H,)
+        h = np.zeros((b, hidden), dtype=np.float32)
+        c = np.zeros((b, hidden), dtype=np.float32)
+        steps = range(lmax) if direction == 0 else range(lmax - 1, -1, -1)
+        for t in steps:
+            gates = x[:, t, :] @ w_ih + h @ w_hh + bias
+            i_g = 1.0 / (1.0 + np.exp(-gates[:, :hidden]))
+            f_g = 1.0 / (1.0 + np.exp(-gates[:, hidden : 2 * hidden]))
+            g_g = np.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o_g = 1.0 / (1.0 + np.exp(-gates[:, 3 * hidden :]))
+            c_new = f_g * c + i_g * g_g
+            h_new = o_g * np.tanh(c_new)
+            valid = (t < lengths)[:, None]
+            h = np.where(valid, h_new, h)
+            c = np.where(valid, c_new, c)
+            sl = slice(0, hidden) if direction == 0 else slice(hidden, 2 * hidden)
+            out[:, t, sl] = np.where(valid, h, 0.0)
+    return out
+
+
+def attention_encode(
+    x: np.ndarray,
+    lengths: np.ndarray,
+    layers: list[dict],
+    num_heads: int,
+) -> np.ndarray:
+    """M10: stacked masked multi-head self-attention → (B, L, D).
+
+    Engine variant of the reference's ``stacked_self_attention`` under
+    seq2seq_pool (configs/.../baseline_self_attention.jsonnet:98-105):
+    per layer, per head — scaled dot-product attention masked to valid
+    positions, concat heads, output projection, residual + ReLU. (AllenNLP's
+    block adds feedforward sublayers + layer norm; with engine-synthetic
+    weights the simplified block is the documented contract.)
+    """
+    b, lmax, d = x.shape
+    dh = d // num_heads
+    pos_mask = np.arange(lmax)[None, :] < lengths[:, None]          # (B, L)
+    att_bias = np.where(pos_mask[:, None, :], 0.0, -1e9)            # (B, 1, L)
+    h = x
+    for layer in layers:
+        q = h @ layer["wq"]
+        k = h @ layer["wk"]
+        v = h @ layer["wv"]
+        heads_out = np.empty_like(h)
+        for hd in range(num_heads):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            scores = q[:, :, sl] @ k[:, :, sl].transpose(0, 2, 1)
+            scores = scores / np.sqrt(dh) + att_bias
+            scores -= scores.max(axis=-1, keepdims=True)
+            e = np.exp(scores)
+            att = e / e.sum(axis=-1, keepdims=True)
+            heads_out[:, :, sl] = att @ v[:, :, sl]
+        h = np.maximum(h + heads_out @ layer["wo"], 0.0)
+        h *= pos_mask[:, :, None]
+    return h.astype(np.float32)
+
+
+def gat_encode(
+    x: np.ndarray,
+    adj: np.ndarray,
+    lengths: np.ndarray,
+    layers: list[dict],
+    num_heads: int,
+) -> np.ndarray:
+    """M13: graph attention (relex/modules/seq2vec_encoders/gat.py:121-182):
+    per layer — linear projection, per-head additive attention scores
+    w·[x_i;x_j] masked to adjacency ∧ valid, softmax, weighted sum,
+    leaky_relu(0.2)."""
+    b, lmax, _ = x.shape
+    pos_mask = np.arange(lmax)[None, :] < lengths[:, None]
+    pair_mask = pos_mask[:, :, None] & pos_mask[:, None, :]         # (B, L, L)
+    att_mask = (adj > 0) & pair_mask
+    h = x
+    for layer in layers:
+        proj = h @ layer["w"]                                        # (B, L, H)
+        hidden = proj.shape[-1]
+        dh = hidden // num_heads
+        out = np.empty((b, lmax, hidden), dtype=np.float32)
+        for hd in range(num_heads):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            ph = proj[:, :, sl]
+            # additive linear score over [x_i ; x_j] = xi·w1 + xj·w2
+            s1 = ph @ layer["a1"][hd]                                # (B, L)
+            s2 = ph @ layer["a2"][hd]
+            scores = s1[:, :, None] + s2[:, None, :]
+            scores = np.where(att_mask, scores, -1e9)
+            scores -= scores.max(axis=-1, keepdims=True)
+            e = np.exp(scores)
+            denom = e.sum(axis=-1, keepdims=True)
+            att = np.where(denom > 1e-30, e / np.maximum(denom, 1e-30), 0.0)
+            out[:, :, sl] = att @ ph
+        h = np.where(out > 0, out, 0.2 * out)                        # leaky_relu
+        h *= pos_mask[:, :, None]
+    return h.astype(np.float32)

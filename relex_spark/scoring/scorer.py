@@ -54,7 +54,7 @@ def score_candidates(
     ``keep_columns`` (default: all non-feature columns) pass through.
     """
     feature_cols = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
-    if encoder == "gcn":
+    if encoder in ("gcn", "gat"):
         feature_cols.append("adjacency")  # per-row edge lists (G1-G4 output)
     if keep_columns is None:
         keep_columns = [c for c in candidates.columns if c not in feature_cols]
@@ -85,7 +85,9 @@ def score_candidates(
             ids_list = [w.token_ids(list(toks)) for toks in pdf["tokens"]]
             head = pdf[["head_start", "head_end"]].to_numpy(dtype=np.int64)
             tail = pdf[["tail_start", "tail_end"]].to_numpy(dtype=np.int64)
-            adjacency = list(pdf["adjacency"]) if encoder == "gcn" else None
+            adjacency = (
+                list(pdf["adjacency"]) if encoder in ("gcn", "gat") else None
+            )
             probs, argmax = forward_batch(
                 w, ids_list, head, tail, encoder=encoder, adjacency=adjacency
             )

@@ -143,6 +143,63 @@ def build_fixture_weights(
         "gcn_ff_b": gcn_ff_b,
     }
 
+    # M11 bag-of-embeddings head (input dim = d_in, no projection)
+    rngmat = rng.standard_normal((d_in, len(labels)), dtype=np.float32)
+    extra["boe_ff_w"] = rngmat * np.float32(1.0 / np.sqrt(d_in))
+    extra["boe_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
+    # M9 BiLSTM head (seq2seq_pool over a bidirectional LSTM)
+    lstm_hidden = 16
+
+    def _mat(rows: int, cols: int, scale: float | None = None) -> np.ndarray:
+        m = rng.standard_normal((rows, cols), dtype=np.float32)
+        return m * np.float32(scale if scale is not None else 1.0 / np.sqrt(rows))
+
+    extra["lstm_hidden"] = lstm_hidden
+    extra["lstm_params"] = {
+        f"{name}_{d}": (
+            _mat(d_in if name == "w_ih" else lstm_hidden, 4 * lstm_hidden)
+            if name != "b"
+            else rng.standard_normal(4 * lstm_hidden, dtype=np.float32) * 0.1
+        )
+        for d in (0, 1)
+        for name in ("w_ih", "w_hh", "b")
+    }
+    extra["lstm_ff_w"] = _mat(2 * lstm_hidden, len(labels))
+    extra["lstm_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
+    # M10 stacked self-attention head (d_in divisible by 4 heads)
+    extra["attn_heads"] = 4
+    extra["attn_layers"] = [
+        {
+            "wq": _mat(d_in, d_in),
+            "wk": _mat(d_in, d_in),
+            "wv": _mat(d_in, d_in),
+            "wo": _mat(d_in, d_in),
+        }
+        for _ in range(2)
+    ]
+    extra["attn_ff_w"] = _mat(d_in, len(labels))
+    extra["attn_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
+    # M13 GAT head (gat.py defaults: leaky_relu(0.2), 3-scope pooling)
+    gat_hidden, gat_heads = 32, 4
+    dh = gat_hidden // gat_heads
+    extra["gat_heads"] = gat_heads
+    extra["gat_layers"] = []
+    g_in = d_in
+    for _ in range(2):
+        extra["gat_layers"].append(
+            {
+                "w": _mat(g_in, gat_hidden),
+                "a1": rng.standard_normal((gat_heads, dh), dtype=np.float32) * 0.3,
+                "a2": rng.standard_normal((gat_heads, dh), dtype=np.float32) * 0.3,
+            }
+        )
+        g_in = gat_hidden
+    extra["gat_ff_w"] = _mat(3 * gat_hidden, len(labels))
+    extra["gat_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
     return ModelWeights(
         extra=extra,
         token_to_id=token_to_id,
