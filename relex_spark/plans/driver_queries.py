@@ -1066,3 +1066,226 @@ def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_adj = with_adjacency(cands, prune=1, max_len=100)
     wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
     return score_candidates(with_adj, wbc, keep_columns=["id"], encoder="gcn")
+
+
+# ---------------------------------------------------------------------------
+# Classical-operator breadth (SURVEY §2.8 checklist): windows, rollup,
+# semi/anti joins, set ops, date/string scalar functions, ordered top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_window_functions",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(event_id) OVER w AS prev_event,
+               LEAD(event_id) OVER w AS next_event,
+               SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, rn, prev_event, next_event,
+           CAST(running_value AS DOUBLE) AS running_value
+    FROM e WHERE user_id % 25 = 0
+    """,
+)
+def w_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (engine-side; reference has none — SURVEY §2.8):
+    row_number/lag/lead/running sum per user under a total order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.round("value", 2).cast("decimal(12,2)")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.lag("event_id").over(w).alias("prev_event"),
+            F.lead("event_id").over(w).alias("next_event"),
+            F.sum(dec).over(wsum).cast("double").alias("running_value"),
+        )
+        .where(F.col("user_id") % 25 == 0)
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "j_semi_anti",
+    """
+    SELECT c.c_custkey,
+           CAST(EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS INT) AS has_orders
+    FROM customer c
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join pair expressed as one existence flag."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", F.lit(1).alias("has_orders"))
+    without = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", F.lit(0).alias("has_orders"))
+    return with_orders.union(without)
+
+
+@register(
+    "s_set_ops",
+    """
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only', COUNT(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def s_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators."""
+    ev = _t(spark, sf_dir, "events")
+    click = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buy = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = click.intersect(buy).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = click.exceptAll(buy).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_only").alias("bucket"), "n"
+    )
+    return both.union(only)
+
+
+@register(
+    "f_date_string_functions",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(EXTRACT(month FROM ts) AS INT) AS m,
+           CAST(EXTRACT(day FROM ts) AS INT) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+           upper(event_type) AS et_upper,
+           substr(event_type, 1, 3) AS et_pre,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS et_novowel,
+           CAST(length(props) AS INT) AS props_len
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def f_date_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string scalar function surface (reference uses only join/split/
+    lower/regex — SURVEY §2.8; ts-column functions are engine additions)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day_str"
+        ),
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et_pre"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("et_novowel"),
+        F.length("props").cast("int").alias("props_len"),
+    )
+
+
+@register(
+    "t_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(14,2)) AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def t_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered top-k (TakeOrderedAndProject physical path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).cast("decimal(14,2)").cast("double").alias(
+                "totalprice"
+            ),
+        )
+    )
+
+
+@register("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload → Arrow-batched feature extraction
+    (deterministic fake featurizer; real codec stubbed — see
+    operators/multimodal.py)."""
+    from relex_spark.operators.multimodal import decode_features, synthesize_media
+
+    return decode_features(synthesize_media(spark, 256), dim=16)
+
+
+@register(
+    "mm_sample_frames",
+    """
+    WITH media AS (
+        SELECT range AS media_id,
+               CASE range % 3 WHEN 2 THEN CAST(range % 7 + 2 AS INT) ELSE 1 END AS frames,
+               128 AS n_bytes
+        FROM range(0, 256)
+    )
+    SELECT media_id, CAST(f.range AS INT) AS frame_no,
+           CAST(n_bytes // frames AS INT) AS frame_bytes
+    FROM media, range(0, 99) f
+    WHERE range % 3 = 2 AND f.range < frames AND f.range % 2 = 0
+    """,
+)
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: pure-SQL video frame sampling; the oracle reproduces the
+    (media_id, frame_no, frame_bytes) accounting (payload bytes themselves
+    are checked by tests/test_multimodal.py)."""
+    from relex_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, 256)
+    return sample_frames(media, every=2).drop("frame")

@@ -53,19 +53,32 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
     lookup, concatenation → (B, L, d_in) float32, zero at padding."""
     b, lmax = ids.shape
     text_emb = w.emb[ids]                               # (B, L, d_emb)
+    pos = np.arange(lmax)[None, :]
+    mask = pos < lengths[:, None]
 
-    hidx = relative_offset_index_batch(
-        lengths, head_spans[:, 0], head_spans[:, 1], w.n_position, lmax
-    )
-    tidx = relative_offset_index_batch(
-        lengths, tail_spans[:, 0], tail_spans[:, 1], w.n_position, lmax
-    )
-    head_emb = w.head_offset_emb[hidx]
-    tail_emb = w.tail_offset_emb[tidx]
+    if w.offset_type == "relative":
+        hidx = relative_offset_index_batch(
+            lengths, head_spans[:, 0], head_spans[:, 1], w.n_position, lmax
+        )
+        tidx = relative_offset_index_batch(
+            lengths, tail_spans[:, 0], tail_spans[:, 1], w.n_position, lmax
+        )
+        parts = [text_emb, w.head_offset_emb[hidx], w.tail_offset_emb[tidx]]
+    elif w.offset_type == "sine":
+        # M5 (sine_offset_embedder.py:49-60): index anchored at span start
+        hidx = np.where(mask, 1 + w.n_position + pos - head_spans[:, :1], 0)
+        tidx = np.where(mask, 1 + w.n_position + pos - tail_spans[:, :1], 0)
+        parts = [text_emb, w.head_offset_emb[hidx], w.tail_offset_emb[tidx]]
+    elif w.offset_type == "entity_only":
+        # M6 (entity_only_offset_embedder.py:33-38): 1.0 at span start
+        hm = (pos == head_spans[:, :1]).astype(np.float32)[:, :, None]
+        tm = (pos == tail_spans[:, :1]).astype(np.float32)[:, :, None]
+        parts = [text_emb, hm, tm]
+    else:
+        raise ValueError(f"unknown offset_type {w.offset_type!r}")
 
-    out = np.concatenate([text_emb, head_emb, tail_emb], axis=-1)
-    mask = (np.arange(lmax)[None, :] < lengths[:, None]).astype(np.float32)
-    return out * mask[:, :, None]
+    out = np.concatenate(parts, axis=-1)
+    return out * mask.astype(np.float32)[:, :, None]
 
 
 def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -174,8 +187,11 @@ def forward_batch(
     tail_spans: np.ndarray,
     encoder: str = "cnn",
     adjacency: list | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Full forward pass for one micro-batch → (probs (B, C), argmax (B,)).
+    return_enc: bool = False,
+) -> tuple:
+    """Full forward pass for one micro-batch → (probs (B, C), argmax (B,))
+    [+ encoded (B, d_enc) when ``return_enc`` — M19 representation tap,
+    basic_relation_classifier.py:221 ``output_dict["input_rep"]``].
 
     Mirrors basic_relation_classifier.py:153-229 at inference: embed →
     offset embeds → concat → encoder → feedforward → softmax/argmax.
@@ -233,6 +249,8 @@ def forward_batch(
         raise ValueError(f"unknown encoder {encoder!r}")
     logits = enc @ ff_w + ff_b
     probs = softmax(logits)
+    if return_enc:
+        return probs, probs.argmax(axis=-1), enc.astype(np.float32)
     return probs, probs.argmax(axis=-1)
 
 

@@ -45,6 +45,7 @@ def score_candidates(
     keep_columns: list[str] | None = None,
     encoder: str = "cnn",
     with_probs: bool = False,
+    with_representation: bool = False,
     bucket_by_length: bool = True,
 ) -> DataFrame:
     """Score (tokens, head, tail) candidates → append ``label``, ``score``.
@@ -74,6 +75,10 @@ def score_candidates(
     ]
     if with_probs:
         out_fields.append(T.StructField("probs", T.ArrayType(T.FloatType())))
+    if with_representation:
+        # M19 representation tap (basic_relation_classifier.py:221) — the
+        # probing/export surface (E8 consumes this keyed by id)
+        out_fields.append(T.StructField("embedding", T.ArrayType(T.FloatType())))
     out_schema = T.StructType(out_fields)
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,14 +93,23 @@ def score_candidates(
             adjacency = (
                 list(pdf["adjacency"]) if encoder in ("gcn", "gat") else None
             )
-            probs, argmax = forward_batch(
-                w, ids_list, head, tail, encoder=encoder, adjacency=adjacency
+            res = forward_batch(
+                w,
+                ids_list,
+                head,
+                tail,
+                encoder=encoder,
+                adjacency=adjacency,
+                return_enc=with_representation,
             )
+            probs, argmax = res[0], res[1]
             out = pdf[keep_columns].copy()
             out["label"] = labels[argmax]
             out["score"] = probs.max(axis=-1).astype(np.float32)
             if with_probs:
                 out["probs"] = [row.astype(np.float32) for row in probs]
+            if with_representation:
+                out["embedding"] = [row for row in res[2]]
             yield out
 
     return in_df.mapInPandas(score_batches, schema=out_schema)

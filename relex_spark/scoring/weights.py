@@ -38,6 +38,23 @@ PAD_ID = 0
 OOV_ID = 1
 
 
+def sine_offset_table(n_rows: int, embedding_dim: int) -> np.ndarray:
+    """M5 fixed sinusoidal table (sine_offset_embedder.py:7-17
+    position_encoding_init): row p, col j = p / 10000^(2*(j//2)/d); sin on
+    even columns, cos on odd; row 0 zero."""
+    table = np.array(
+        [
+            [pos / np.power(10000, 2 * (j // 2) / embedding_dim) for j in range(embedding_dim)]
+            if pos != 0
+            else np.zeros(embedding_dim)
+            for pos in range(n_rows)
+        ]
+    )
+    table[1:, 0::2] = np.sin(table[1:, 0::2])
+    table[1:, 1::2] = np.cos(table[1:, 1::2])
+    return table.astype(np.float32)
+
+
 @dataclass
 class ModelWeights:
     """All state needed by the scoring kernel; numpy-only, picklable for
@@ -54,10 +71,16 @@ class ModelWeights:
     n_position: int
     max_len: int
     lowercase: bool = True
+    # offset-embedder family (M4 'relative' default; M5 'sine' swaps the
+    # tables for the fixed sinusoidal table + start-anchored index; M6
+    # 'entity_only' replaces both tables with 0/1 start markers)
+    offset_type: str = "relative"
     extra: dict = field(default_factory=dict)
 
     @property
     def d_in(self) -> int:
+        if self.offset_type == "entity_only":
+            return self.emb.shape[1] + 2  # one indicator per span (M6)
         return (
             self.emb.shape[1]
             + self.head_offset_emb.shape[1]
@@ -83,6 +106,7 @@ def build_fixture_weights(
     n_position: int = 100,
     max_len: int = 100,
     labels: list[str] | None = None,
+    offset_type: str = "relative",
 ) -> ModelWeights:
     """Seeded-deterministic weights over a supplied (already-ordered) vocab.
 
@@ -102,6 +126,8 @@ def build_fixture_weights(
     emb[PAD_ID] = 0.0
 
     def offset_table() -> np.ndarray:
+        if offset_type == "sine":
+            return sine_offset_table(2 * n_position + 1, d_off)
         t = rng.standard_normal((2 * n_position + 1, d_off), dtype=np.float32) * 0.5
         t[0] = 0.0  # padding_idx=0 zeroed (relative_offset_embedder.py:13-17)
         return t
@@ -109,7 +135,7 @@ def build_fixture_weights(
     head_off = offset_table()
     tail_off = offset_table()
 
-    d_in = d_emb + 2 * d_off
+    d_in = d_emb + (2 if offset_type == "entity_only" else 2 * d_off)
     cnn = {}
     for k in ngram_sizes:
         w = rng.standard_normal((k * d_in, num_filters), dtype=np.float32)
@@ -168,8 +194,8 @@ def build_fixture_weights(
     extra["lstm_ff_w"] = _mat(2 * lstm_hidden, len(labels))
     extra["lstm_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
 
-    # M10 stacked self-attention head (d_in divisible by 4 heads)
-    extra["attn_heads"] = 4
+    # M10 stacked self-attention head (head count must divide d_in)
+    extra["attn_heads"] = next(h for h in (4, 2, 1) if d_in % h == 0)
     extra["attn_layers"] = [
         {
             "wq": _mat(d_in, d_in),
@@ -201,6 +227,7 @@ def build_fixture_weights(
     extra["gat_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
 
     return ModelWeights(
+        offset_type=offset_type,
         extra=extra,
         token_to_id=token_to_id,
         labels=list(labels),

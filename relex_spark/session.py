@@ -35,6 +35,14 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
+    # One BLAS thread per Python worker: Spark owns core accounting; BLAS
+    # oversubscription both degrades throughput at full parallelism and
+    # silently inflates low-parallelism numbers (each local[8] worker was
+    # grabbing 2 OpenBLAS threads, corrupting the N-vs-4N scaling evidence).
+    # Must be in the env BEFORE the JVM starts: python workers inherit it.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = SparkSession.builder.appName(app_name)
 
     if master is None:
@@ -66,7 +74,10 @@ def get_spark(
         # Long sessions compile many large whole-stage-codegen methods; an
         # exhausted JVM code cache silently falls back to interpreted
         # execution (observed 3-6x slowdowns late in bench sessions).
-        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        "spark.driver.extraJavaOptions": (
+            "-XX:ReservedCodeCacheSize=512m "
+            + os.environ.get("RELEX_JAVA_OPTS", "")
+        ).strip(),
         "spark.ui.enabled": "false",
     }
     if extra_conf:

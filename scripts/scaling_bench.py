@@ -62,9 +62,15 @@ def worker(cpus: int) -> None:
         canon.write.format("noop").mode("overwrite").save()
 
     job()  # discarded warm run
-    t0 = time.perf_counter()
-    job()
-    sec = time.perf_counter() - t0
+    # best-of-3: the sandbox host is multi-tenant (observed load spikes
+    # while nominally idle); min wall time is the standard robust estimator
+    # for throughput capacity under external noise
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    sec = min(runs)
 
     n_triples = build_triples(tdf, config).count()
     print(
@@ -74,6 +80,7 @@ def worker(cpus: int) -> None:
                 "n_turns": n_turns,
                 "scored_triples": n_triples,
                 "sec": round(sec, 2),
+                "all_runs_sec": [round(r, 2) for r in runs],
                 "turns_per_sec": round(n_turns / sec, 1),
                 "triples_per_sec": round(n_triples / sec, 1),
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
