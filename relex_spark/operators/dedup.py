@@ -231,3 +231,47 @@ def simhash16(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥ t).
+
+    Exact path (``n_planes=0``): thresholded self-join — correct and
+    oracle-checkable, O(n²) compare but the dot product stays JVM-side
+    (aggregate(zip_with), no Python). Scale path (``n_planes>0``): rows are
+    first bucketed by signed random hyperplanes (similarity.hyperplane_bucket)
+    and only same-bucket pairs are compared — the self-join becomes an
+    equi-join on the bucket key (shuffle ∝ candidate pairs, AQE-splittable),
+    at standard LSH recall. Same verify expression either way.
+    """
+    from relex_spark.operators.similarity import _dot, _norm, hyperplane_bucket
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    join_on = [F.col("a.id") < F.col("b.id")]
+    if n_planes > 0:
+        cols.append(hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bkt"))
+        join_on.append(F.col("a.bkt") == F.col("b.bkt"))
+    base = emb.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    cond = join_on[0]
+    for c in join_on[1:]:
+        cond = cond & c
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -83,22 +83,19 @@ def hyperplane_bucket(vec: Column, n_planes: int, dim: int, seed: str = "lsh") -
     """
     from relex_spark.functions.text import portable_hash64
 
+    def signed_term(p: int):
+        # two-parameter lambda REQUIRED: pyspark dispatches by arity, so the
+        # plane index must be a closure, not a defaulted third parameter
+        return lambda v, j: v.cast("double") * F.when(
+            portable_hash64(F.concat(F.lit(f"{seed}:{p}:"), j.cast("string"))) % 2
+            == 0,
+            1.0,
+        ).otherwise(-1.0)
+
     bucket = F.lit(0).cast("int")
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, j, pp=p: v.cast("double")
-                * F.when(
-                    portable_hash64(
-                        F.concat(F.lit(f"{seed}:{pp}:"), j.cast("string"))
-                    )
-                    % 2
-                    == 0,
-                    1.0,
-                ).otherwise(-1.0),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(p)),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )

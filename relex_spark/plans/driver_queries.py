@@ -1271,14 +1271,15 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH media AS (
         SELECT range AS media_id,
-               CASE range % 3 WHEN 2 THEN CAST(range % 7 + 2 AS INT) ELSE 1 END AS frames,
+               CAST(range % 7 + 2 AS INT) AS frames,
                128 AS n_bytes
         FROM range(0, 256)
+        WHERE range % 3 = 2
     )
     SELECT media_id, CAST(f.range AS INT) AS frame_no,
            CAST(n_bytes // frames AS INT) AS frame_bytes
     FROM media, range(0, 99) f
-    WHERE range % 3 = 2 AND f.range < frames AND f.range % 2 = 0
+    WHERE f.range < frames AND f.range % 2 = 0
     """,
 )
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,3 +1290,73 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(spark, 256)
     return sample_frames(media, every=2).drop("frame")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.40
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact thresholded self-join; the
+    LSH-bucketed scale path is the same operator with n_planes>0 — see
+    operators/dedup.py embedding_cosine_pairs)."""
+    from relex_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.40)
+
+
+def _fixture_scored(spark: SparkSession, encoder: str) -> DataFrame:
+    """Shared body for the non-flagship encoder queries (M9/M10/M13): score
+    the SemEval fixture candidates with the named encoder kernel."""
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.readers import read_semeval_jsonl, semeval_to_candidates
+
+    cands = semeval_to_candidates(
+        read_semeval_jsonl(spark, _fixture_path("semeval_fixture.jsonl")), max_len=100
+    )
+    if encoder == "gat":
+        from relex_spark.graph.adjacency import with_adjacency
+        from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+
+        cands = tacred_to_candidates(
+            read_tacred_json(spark, _fixture_path("tacred_fixture.json")), max_len=100
+        )
+        cands = with_adjacency(cands, prune=1, max_len=100)
+    wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
+    return score_candidates(cands, wbc, keep_columns=["id"], encoder=encoder)
+
+
+@register("m9_bilstm_scored")
+def m9_bilstm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: BiLSTM (seq2seq_pool) relation scoring over the SemEval fixture
+    (batch-independence + span-sensitivity pinned in tests/test_encoders.py)."""
+    return _fixture_scored(spark, "bilstm")
+
+
+@register("m10_attention_scored")
+def m10_attention_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: stacked self-attention relation scoring over the SemEval fixture."""
+    return _fixture_scored(spark, "attention")
+
+
+@register("m13_gat_scored")
+def m13_gat_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: GAT relation scoring over the TACRED fixture with SDP-pruned
+    adjacency (kernel parity pinned in tests/test_encoders.py)."""
+    return _fixture_scored(spark, "gat")

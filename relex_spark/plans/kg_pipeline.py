@@ -72,7 +72,11 @@ class KGPipelineConfig:
             toks.update(t.lower() for t in ex["tokens"])
         for surface, _, _ in self.gazetteer_rows:
             toks.update(surface.lower().split(" "))
-        return build_fixture_weights(sorted(toks), max_len=self.max_len)
+        # Memoized: the synthetic build RNGs ~50 MB of matrices driver-side —
+        # a pure-serial cost that must not recur per job (it measurably
+        # capped scaling efficiency: every build_triples call paid it).
+        self.weights = build_fixture_weights(sorted(toks), max_len=self.max_len)
+        return self.weights
 
 
 def preprocess_candidates(candidates: DataFrame, max_len: int) -> DataFrame:

@@ -21,6 +21,27 @@ import numpy as np
 
 from relex_spark.scoring.weights import ModelWeights
 
+# ---------------------------------------------------------------------------
+# Buffer pool: Spark reuses Python workers across tasks, so scratch tensors
+# are process-lifetime reusable. Allocating the projected-conv tensor fresh
+# per batch (hundreds of MB) turns into mmap/munmap churn — page zeroing +
+# TLB shootdowns serialize ALL workers on the kernel (measured: 8→32 procs
+# made total throughput DROP without this). Grow-only, keyed by use-site.
+# ---------------------------------------------------------------------------
+
+_BUF_POOL: dict[str, np.ndarray] = {}
+
+
+def _pooled(name: str, shape: tuple[int, ...], dtype=np.float32) -> np.ndarray:
+    """A reusable scratch array of `shape` (contents undefined)."""
+    dt = np.dtype(dtype)
+    need = int(np.prod(shape)) * dt.itemsize
+    buf = _BUF_POOL.get(name)
+    if buf is None or buf.nbytes < need:
+        buf = np.empty(max(need, dt.itemsize), dtype=np.uint8)
+        _BUF_POOL[name] = buf
+    return buf[:need].view(dt).reshape(shape)
+
 
 def pad_batch(ids_list: list[list[int]], pad_id: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Pad a list of id sequences → (ids (B,L) int64, lengths (B,) int64)."""
@@ -52,9 +73,17 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
     """M1 + M4×2 + M7: token embedding lookup, head/tail offset embedding
     lookup, concatenation → (B, L, d_in) float32, zero at padding."""
     b, lmax = ids.shape
-    text_emb = w.emb[ids]                               # (B, L, d_emb)
     pos = np.arange(lmax)[None, :]
     mask = pos < lengths[:, None]
+    d_emb = w.emb.shape[1]
+    d_total = w.d_in
+
+    # Pooled output: written slice-wise (no per-namespace temporaries beyond
+    # the fancy-index results, no final concatenate copy). Valid until the
+    # next embed_batch call in this worker — callers consume it within the
+    # same forward chunk.
+    out = _pooled("embed_x", (b, lmax, d_total))
+    out[:, :, :d_emb] = w.emb[ids]                      # (B, L, d_emb)
 
     if w.offset_type == "relative":
         hidx = relative_offset_index_batch(
@@ -63,53 +92,105 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
         tidx = relative_offset_index_batch(
             lengths, tail_spans[:, 0], tail_spans[:, 1], w.n_position, lmax
         )
-        parts = [text_emb, w.head_offset_emb[hidx], w.tail_offset_emb[tidx]]
+        d_h = w.head_offset_emb.shape[1]
+        out[:, :, d_emb : d_emb + d_h] = w.head_offset_emb[hidx]
+        out[:, :, d_emb + d_h :] = w.tail_offset_emb[tidx]
     elif w.offset_type == "sine":
         # M5 (sine_offset_embedder.py:49-60): index anchored at span start
         hidx = np.where(mask, 1 + w.n_position + pos - head_spans[:, :1], 0)
         tidx = np.where(mask, 1 + w.n_position + pos - tail_spans[:, :1], 0)
-        parts = [text_emb, w.head_offset_emb[hidx], w.tail_offset_emb[tidx]]
+        d_h = w.head_offset_emb.shape[1]
+        out[:, :, d_emb : d_emb + d_h] = w.head_offset_emb[hidx]
+        out[:, :, d_emb + d_h :] = w.tail_offset_emb[tidx]
     elif w.offset_type == "entity_only":
         # M6 (entity_only_offset_embedder.py:33-38): 1.0 at span start
-        hm = (pos == head_spans[:, :1]).astype(np.float32)[:, :, None]
-        tm = (pos == tail_spans[:, :1]).astype(np.float32)[:, :, None]
-        parts = [text_emb, hm, tm]
+        out[:, :, d_emb] = pos == head_spans[:, :1]
+        out[:, :, d_emb + 1] = pos == tail_spans[:, :1]
     else:
         raise ValueError(f"unknown offset_type {w.offset_type!r}")
 
-    out = np.concatenate(parts, axis=-1)
-    return out * mask.astype(np.float32)[:, :, None]
+    out *= mask[:, :, None]
+    return out
+
+
+def _cnn_packed(w: ModelWeights):
+    """Pack all filter widths into one (d_in, Σ k·nf) matrix so the conv is a
+    single GEMM reading x once (columns ordered by width k asc, then offset o
+    within the window). Cached per weights object (one pack per worker)."""
+    packed = getattr(w, "_cnn_packed_cache", None)
+    if packed is not None:
+        return packed
+    ks = sorted(w.cnn_filters)
+    blocks, offs, nfs, bks = [], {}, {}, {}
+    c0 = 0
+    for k in ks:
+        wk, bk = w.cnn_filters[k]
+        nf = wk.shape[1]
+        d_in = wk.shape[0] // k
+        wk3 = wk.reshape(k, d_in, nf)  # row o*d_in+d of wk == window offset o
+        for o in range(k):
+            blocks.append(wk3[o])
+        offs[k], nfs[k], bks[k] = c0, nf, bk
+        c0 += k * nf
+    w_all = np.ascontiguousarray(np.concatenate(blocks, axis=1), dtype=np.float32)
+    packed = (w_all, ks, nfs, bks, offs)
+    try:
+        w._cnn_packed_cache = packed
+    except Exception:  # frozen/slotted weights object: recompute per call
+        pass
+    return packed
+
+
+# Cap on elements of the projected tensor per GEMM — bounds scratch memory
+# (32 MiB float32) and keeps the shifted-accumulation passes cache-friendly.
+_CNN_CHUNK_ELEMS = 8_388_608
 
 
 def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """M8: multi-width 1-D conv + ReLU + max-over-valid-windows → (B, d_enc).
 
-    im2col formulation: windows via sliding_window_view, one GEMM per
-    filter width. Rows shorter than a width contribute that width's ReLU(b)
-    (a single zero-input window — deterministic, batch-independent).
+    Formulation: conv_k[t] = Σ_o x[t+o]·W_k[o], so one packed GEMM
+    y = x @ [W_k[o]]_{k,o} (reads x once, no im2col materialization) followed
+    by shifted in-place accumulation per width. ~8× less memory traffic than
+    im2col — the scoring stage is bandwidth-bound at full parallelism (see
+    docs/SCALE.md roofline). Rows shorter than a width contribute that
+    width's ReLU(b) (a single zero-input window — deterministic,
+    batch-independent).
     """
     b, lmax, d_in = x.shape
-    outs = []
-    for k, (wk, bk) in sorted(w.cnn_filters.items()):
-        nf = wk.shape[1]
-        if lmax >= k:
-            win = np.lib.stride_tricks.sliding_window_view(x, (k, d_in), axis=(1, 2))
-            win = win.reshape(b, lmax - k + 1, k * d_in)
-            conv = win @ wk + bk                        # (B, W, nf)
-            np.maximum(conv, 0.0, out=conv)
-            n_win = lengths - k + 1                     # valid windows per row
-            wmask = np.arange(lmax - k + 1)[None, :] < n_win[:, None]
-            conv = np.where(wmask[:, :, None], conv, -np.inf)
-            pooled = conv.max(axis=1)                   # (B, nf)
-        else:
-            pooled = np.full((b, nf), -np.inf, dtype=np.float32)
-            n_win = lengths - k + 1
-        # Short rows (no valid window): ReLU(bias) from one all-zero window.
-        short = n_win < 1
-        if short.any():
-            pooled[short] = np.maximum(bk, 0.0)
-        outs.append(pooled.astype(np.float32))
-    return np.concatenate(outs, axis=1)
+    w_all, ks, nfs, bks, offs = _cnn_packed(w)
+    c_total = w_all.shape[1]
+    pooled_all = {k: np.empty((b, nfs[k]), dtype=np.float32) for k in ks}
+    rows = max(1, _CNN_CHUNK_ELEMS // max(lmax * c_total, 1))
+    for r0 in range(0, b, rows):
+        r1 = min(b, r0 + rows)
+        bc = r1 - r0
+        y = _pooled("cnn_y", (bc * lmax, c_total))
+        np.matmul(x[r0:r1].reshape(bc * lmax, d_in), w_all, out=y)
+        y3 = y.reshape(bc, lmax, c_total)
+        lens_c = lengths[r0:r1]
+        for k in ks:
+            nf, bk, c0 = nfs[k], bks[k], offs[k]
+            n_win = lens_c - k + 1
+            if lmax >= k:
+                n_w = lmax - k + 1
+                acc = _pooled(f"cnn_acc_{k}", (bc, n_w, nf))
+                np.copyto(acc, y3[:, :n_w, c0 : c0 + nf])
+                for o in range(1, k):
+                    acc += y3[:, o : n_w + o, c0 + o * nf : c0 + (o + 1) * nf]
+                acc += bk
+                np.maximum(acc, 0.0, out=acc)
+                wmask = np.arange(n_w)[None, :] < n_win[:, None]
+                np.copyto(acc, -np.inf, where=~wmask[:, :, None])
+                pooled = acc.max(axis=1)
+            else:
+                pooled = np.full((bc, nf), -np.inf, dtype=np.float32)
+            # Short rows (no valid window): ReLU(bias) from one zero window.
+            short = n_win < 1
+            if short.any():
+                pooled[short] = np.maximum(bk, 0.0)
+            pooled_all[k][r0:r1] = pooled
+    return np.concatenate([pooled_all[k] for k in ks], axis=1)
 
 
 def boe_encode(x: np.ndarray, lengths: np.ndarray, pooling: str = "sum") -> np.ndarray:
@@ -180,26 +261,29 @@ def softmax(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def forward_batch(
+def _densify_adjacency(adjacency: list, b: int, lmax: int) -> np.ndarray:
+    """G5: per-row edge lists → (B, L, L) 0/1 matrices (tacred.py:167-169)."""
+    adj = np.zeros((b, lmax, lmax), dtype=np.float32)
+    for i, edges in enumerate(adjacency):
+        if edges is None:
+            continue
+        for e in edges:
+            s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
+            if s < lmax and d < lmax:
+                adj[i, s, d] = 1.0
+    return adj
+
+
+def _encode_chunk(
     w: ModelWeights,
-    ids_list: list[list[int]],
+    x: np.ndarray,
+    lengths: np.ndarray,
     head_spans: np.ndarray,
     tail_spans: np.ndarray,
-    encoder: str = "cnn",
-    adjacency: list | None = None,
-    return_enc: bool = False,
-) -> tuple:
-    """Full forward pass for one micro-batch → (probs (B, C), argmax (B,))
-    [+ encoded (B, d_enc) when ``return_enc`` — M19 representation tap,
-    basic_relation_classifier.py:221 ``output_dict["input_rep"]``].
-
-    Mirrors basic_relation_classifier.py:153-229 at inference: embed →
-    offset embeds → concat → encoder → feedforward → softmax/argmax.
-    ``adjacency`` (per-row (src, dst) edge lists) is required for the GCN
-    encoder; densified per batch (G5), never materialized globally.
-    """
-    ids, lengths = pad_batch(ids_list)
-    x = embed_batch(w, ids, lengths, head_spans, tail_spans)
+    encoder: str,
+    adjacency: list | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encoder dispatch for one padded chunk → (enc, ff_w, ff_b)."""
     ff_w, ff_b = w.ff_w, w.ff_b
     if encoder == "cnn":
         enc = cnn_encode(w, x, lengths)
@@ -218,39 +302,68 @@ def forward_batch(
     elif encoder == "gat":
         if adjacency is None:
             raise ValueError("gat encoder requires adjacency edge lists")
-        b, lmax = ids.shape
-        adj = np.zeros((b, lmax, lmax), dtype=np.float32)
-        for i, edges in enumerate(adjacency):
-            if edges is None:
-                continue
-            for e in edges:
-                s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
-                if s < lmax and d < lmax:
-                    adj[i, s, d] = 1.0
+        adj = _densify_adjacency(adjacency, x.shape[0], x.shape[1])
         h = gat_encode(x, adj, lengths, w.extra["gat_layers"], w.extra["gat_heads"])
         enc = scoped_pool_batch(h, lengths, head_spans, tail_spans, "max")
         ff_w, ff_b = w.extra["gat_ff_w"], w.extra["gat_ff_b"]
     elif encoder == "gcn":
         if adjacency is None:
             raise ValueError("gcn encoder requires adjacency edge lists")
-        b, lmax = ids.shape
-        adj = np.zeros((b, lmax, lmax), dtype=np.float32)
-        for i, edges in enumerate(adjacency):
-            if edges is None:
-                continue
-            for e in edges:
-                s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
-                if s < lmax and d < lmax:
-                    adj[i, s, d] = 1.0
+        adj = _densify_adjacency(adjacency, x.shape[0], x.shape[1])
         h = gcn_encode(x, adj, w.extra["gcn_weights"], w.extra["gcn_biases"])
         enc = scoped_pool_batch(h, lengths, head_spans, tail_spans, "max")
         ff_w, ff_b = w.extra["gcn_ff_w"], w.extra["gcn_ff_b"]
     else:
         raise ValueError(f"unknown encoder {encoder!r}")
-    logits = enc @ ff_w + ff_b
-    probs = softmax(logits)
+    return enc, ff_w, ff_b
+
+
+# Rows per forward chunk. Upstream sorts partitions by token count (B1
+# bucketing), so chunks are length-homogeneous: per-chunk padding is tight
+# and the embedded tensor stays small enough for the worker buffer pool.
+FORWARD_CHUNK_ROWS = 512
+
+
+def forward_batch(
+    w: ModelWeights,
+    ids_list: list[list[int]],
+    head_spans: np.ndarray,
+    tail_spans: np.ndarray,
+    encoder: str = "cnn",
+    adjacency: list | None = None,
+    return_enc: bool = False,
+) -> tuple:
+    """Full forward pass for one micro-batch → (probs (B, C), argmax (B,))
+    [+ encoded (B, d_enc) when ``return_enc`` — M19 representation tap,
+    basic_relation_classifier.py:221 ``output_dict["input_rep"]``].
+
+    Mirrors basic_relation_classifier.py:153-229 at inference: embed →
+    offset embeds → concat → encoder → feedforward → softmax/argmax.
+    ``adjacency`` (per-row (src, dst) edge lists) is required for the
+    GCN/GAT encoders; densified per chunk (G5), never materialized globally.
+
+    Processes rows in FORWARD_CHUNK_ROWS chunks, each padded to its own max
+    length — per-row outputs are chunk-independent (valid-window/masked
+    semantics), so chunking changes memory behavior only, not results.
+    """
+    n = len(ids_list)
+    probs_parts: list[np.ndarray] = []
+    enc_parts: list[np.ndarray] = []
+    for r0 in range(0, max(n, 1), FORWARD_CHUNK_ROWS):
+        r1 = min(n, r0 + FORWARD_CHUNK_ROWS)
+        ids, lengths = pad_batch(ids_list[r0:r1])
+        hs, ts = head_spans[r0:r1], tail_spans[r0:r1]
+        x = embed_batch(w, ids, lengths, hs, ts)
+        adj_c = adjacency[r0:r1] if adjacency is not None else None
+        enc, ff_w, ff_b = _encode_chunk(w, x, lengths, hs, ts, encoder, adj_c)
+        logits = enc @ ff_w + ff_b
+        probs_parts.append(softmax(logits))
+        if return_enc:
+            enc_parts.append(np.ascontiguousarray(enc, dtype=np.float32))
+    probs = probs_parts[0] if len(probs_parts) == 1 else np.concatenate(probs_parts)
     if return_enc:
-        return probs, probs.argmax(axis=-1), enc.astype(np.float32)
+        enc_all = enc_parts[0] if len(enc_parts) == 1 else np.concatenate(enc_parts)
+        return probs, probs.argmax(axis=-1), enc_all
     return probs, probs.argmax(axis=-1)
 
 

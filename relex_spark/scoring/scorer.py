@@ -34,9 +34,22 @@ from relex_spark.scoring.kernels import forward_batch
 from relex_spark.scoring.weights import ModelWeights
 
 
+# (weights object, broadcast) per (app id, weights identity): re-broadcasting
+# identical weights every job is serial driver time (pickle + torrent write)
+# that caps scaling efficiency. Holding the weights ref keeps id() stable.
+_BC_CACHE: dict[tuple[str, int], tuple[ModelWeights, Broadcast]] = {}
+
+
 def broadcast_weights(df_or_spark, weights: ModelWeights) -> Broadcast:
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
-    return spark.sparkContext.broadcast(weights)
+    sc = spark.sparkContext
+    key = (sc.applicationId, id(weights))
+    hit = _BC_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    bc = sc.broadcast(weights)
+    _BC_CACHE[key] = (weights, bc)
+    return bc
 
 
 def score_candidates(

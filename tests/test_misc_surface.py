@@ -114,3 +114,66 @@ def test_experiments_roundtrip(spark):
         assert all(abs(r["std_f1"]) < 1e-12 for r in summary)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embedding_cosine_near_dup(spark):
+    """Exact thresholded self-join finds the planted near-dup pair; the
+    LSH-bucketed scale path returns a subset of the exact pairs with
+    identical cos_sim values (same verify expression)."""
+    import math
+
+    from relex_spark.operators.dedup import embedding_cosine_pairs
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [
+        (1, vec(0.00)),
+        (2, vec(0.02)),   # near-dup of 1 (cos ≈ 0.9998)
+        (3, vec(1.40)),   # far from 1/2
+        (4, vec(1.41)),   # near-dup of 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(emb, threshold=0.99).collect()
+    }
+    assert set(exact) == {(1, 2), (3, 4)}
+    assert all(v >= 0.99 for v in exact.values())
+
+    bucketed = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.99, n_planes=2, dim=8
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for k, v in bucketed.items():
+        assert v == exact[k]
+
+
+def test_lsh_bucketed_topk_subset_of_exact(spark):
+    """LSH-bucketed ANN returns per-query neighbors that are a subset of
+    brute-force cosine top-k restricted to the same bucket — and identical
+    cos_sim values for shared (query, neighbor) pairs."""
+    import math
+
+    from relex_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+    rows = [
+        (i, [math.cos(i * 0.15), math.sin(i * 0.15)] + [0.1 * (i % 3)] * 6)
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(queries, emb, k=19).collect()
+    }
+    approx = lsh_bucketed_topk(queries, emb, k=3, n_planes=2, dim=8).collect()
+    assert approx, "bucketed ANN returned nothing"
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact
+        assert r.cos_sim == exact[(r.query_id, r.neighbor_id)]
