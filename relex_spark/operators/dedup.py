@@ -175,16 +175,30 @@ def jaccard_pairs(
     """Blocked pairwise n-gram Jaccard similarity (verify stage).
 
     Self-join within ``block_col`` (a blocking/bucket key — at scale this is
-    the LSH bucket, keeping the join linear in candidates)."""
+    the LSH bucket, keeping the join linear in candidates).
+
+    Shingles are hashed to int64 (portable md5 form) BEFORE the join: the
+    per-pair intersection then compares fixed-width ints instead of strings
+    — O(n·pairs) fewer bytes through the shuffle and the comparator
+    (set-jaccard is hash-invariant modulo negligible md5 collisions)."""
+    hashed = F.array_distinct(
+        F.transform(
+            token_shingles(F.col(text_col), shingle_n),
+            lambda s: portable_hash64(s),
+        )
+    )
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        token_shingles(F.col(text_col), shingle_n).alias("sh"),
+        hashed.alias("sh"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # shingle arrays are distinct-element sets, so |a ∪ b| = |a|+|b|-|a ∩ b|:
+    # avoids materializing a union array per candidate pair (2× less array
+    # work in the verify join's inner loop)
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         a.join(

@@ -684,9 +684,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     _SHINGLES_CTE
-    + """
+    + f"""
     , blocked AS (
-        SELECT d.doc_id AS id, d.lang || '|' || d.source AS block, s.shingles AS sh
+        SELECT d.doc_id AS id, d.lang || '|' || d.source AS block,
+               list_distinct(list_transform(s.shingles,
+                                            t -> {_H64.format(x="t")})) AS sh
         FROM documents d JOIN sh s ON s.doc_id = d.doc_id
     )
     SELECT a.id AS id_a, b.id AS id_b,
