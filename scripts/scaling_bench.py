@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 TRANSCRIPTS = "/tmp/relex_scaling_transcripts"
-N_CONVS = int(os.environ.get("RELEX_SCALING_CONVS", "60000"))
+N_CONVS = int(os.environ.get("RELEX_SCALING_CONVS", "240000"))
 LEVELS = tuple(
     int(x) for x in os.environ.get("RELEX_SCALING_LEVELS", "2,8,32").split(",")
 )

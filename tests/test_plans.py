@@ -1,0 +1,94 @@
+"""Physical-plan invariants (.explain audits as regression tests).
+
+These pin the scale-critical plan properties documented in docs/SCALE.md:
+column pruning into the parquet scan, the zero-shuffle narrow chain up to
+the scoring UDF, broadcast join for the canonical map, and — the one that
+actually bit — NO duplicated mention-detection expression pushed below the
+projection (a WHERE on size(mentions) used to be predicate-pushed under the
+mention projection, inlining the whole n-gram expression into a Filter and
+doubling the stage's cost).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from relex_spark.operators.canonicalize import (
+    alias_edges_from_gazetteer,
+    canonicalize_triples,
+    connected_components,
+)
+from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+from relex_spark.sources.transcripts import gazetteer_df, synthesize_transcripts
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    synthesize_transcripts(spark, n_convs=20).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_scan_prunes_to_three_columns(spark, transcripts):
+    """The scoring chain reads (conv_id, turn_idx, text) only — role/tool/ts
+    are pruned at the parquet reader (SCALE.md §1)."""
+    plan = plan_of(build_triples(transcripts, KGPipelineConfig()))
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
+
+
+def test_scoring_chain_has_no_shuffle(spark, transcripts):
+    """scan → mentions → pairs → preprocess → scoring is ONE narrow stage:
+    no Exchange anywhere in the build_triples plan (SCALE.md §2)."""
+    plan = plan_of(build_triples(transcripts, KGPipelineConfig()))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_mentions_not_duplicated_into_filter(spark, transcripts):
+    """Mention detection must be evaluated once per row: no Filter node may
+    contain the inlined n-gram expression (its signature: array_join over
+    token slices). A pushed-down size(mentions) predicate reintroduces it."""
+    plan = plan_of(build_triples(transcripts, KGPipelineConfig()))
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and ") Filter" in block.splitlines()[0]:
+            assert "array_join" not in block, (
+                "mention-detection expression inlined into a Filter — "
+                "predicate pushdown is re-evaluating the n-gram stage"
+            )
+
+
+def test_canonical_map_join_is_broadcast(spark, transcripts):
+    """The component-map rewrite joins must be broadcast (map side), never a
+    shuffle join — the map is a gazetteer-derived dimension (SCALE.md §2)."""
+    components = connected_components(alias_edges_from_gazetteer(gazetteer_df(spark)))
+    canon = canonicalize_triples(
+        build_triples(transcripts, KGPipelineConfig()), components
+    )
+    plan = plan_of(canon)
+    assert "BroadcastHashJoin" in plan
+    # the one legitimate wide stage: the triple-dedup aggregation — exactly
+    # one shuffle Exchange detail node (") Exchange"; BroadcastExchange and
+    # tree-line mentions don't match this pattern)
+    assert plan.count(") Exchange") == 1
+
+
+def test_parquet_filter_pushdown(spark):
+    """Predicate on a scanned column reaches the parquet reader
+    (PushedFilters), not a post-scan Filter only."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
