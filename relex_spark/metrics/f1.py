@@ -139,12 +139,12 @@ def tacred_micro_f1(
     return {"precision": prec, "recall": rec, "f1": f1}
 
 
-def semeval_official_f1(
+def semeval_official_counts(
     joined: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
-) -> dict[str, float]:
-    """E4: official-scorer headline re-expressed as aggregations — macro
-    over the 9 relation classes (directional collapse for the class axis,
-    but a wrong direction still counts as FP+FN), excluding Other."""
+) -> DataFrame:
+    """E4 per-label table: directional collapse for the class axis, a wrong
+    direction still counts as FP+FN, `Other` excluded — the per-label stage
+    of the official scorer (semeval2010_task8_evaluation.py:24-27)."""
     base = F.regexp_replace(F.col(gold_col), r"\(e[12],e[21]\)", "")
     base_p = F.regexp_replace(F.col(pred_col), r"\(e[12],e[21]\)", "")
     df = joined.select(
@@ -170,11 +170,20 @@ def semeval_official_f1(
             )
         ).alias("c")
     )
-    per_label = (
+    return (
         contrib.groupBy(F.col("c.label").alias("label"))
         .agg(F.sum("c.tp").alias("tp"), F.sum("c.fp").alias("fp"), F.sum("c.fn").alias("fn"))
         .where(F.col("label") != "Other")
     )
+
+
+def semeval_official_f1(
+    joined: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+) -> dict[str, float]:
+    """E4: official-scorer headline re-expressed as aggregations — macro
+    over the 9 relation classes (directional collapse for the class axis,
+    but a wrong direction still counts as FP+FN), excluding Other."""
+    per_label = semeval_official_counts(joined, gold_col, pred_col)
     rows = f1_metrics(per_label).collect()
     if not rows:
         return {"precision": 0.0, "recall": 0.0, "f1": 0.0}

@@ -122,7 +122,7 @@ def detect_mentions(
     df = with_tokens(transcripts)
     grams = _ngram_candidates(F.col("tokens"), max_n, start_gate=start_gate)
     hits = F.filter(grams, lambda g: id_map[g["surface"]].isNotNull())
-    mentions = F.transform(
+    raw = F.transform(
         hits,
         lambda g: F.struct(
             g["start"].alias("start"),
@@ -132,8 +132,15 @@ def detect_mentions(
             ty_map[g["surface"]].alias("entity_type"),
         ),
     )
-    mentions = F.array_sort(_drop_contained(mentions))
-    out = df.withColumn("mentions", mentions)
+    # Two projections on purpose: _drop_contained references its input
+    # twice (filter source + exists inside the filter's lambda). Built as
+    # one expression, the exists re-evaluates the ENTIRE n-gram pipeline
+    # per mention element (lambda bodies are excluded from codegen CSE).
+    # A multi-referenced non-cheap alias blocks CollapseProject, so the raw
+    # mention array materializes once per row and drop-contained reads it.
+    out = df.withColumn("__raw_mentions", raw).withColumn(
+        "mentions", F.array_sort(_drop_contained(F.col("__raw_mentions")))
+    ).drop("__raw_mentions")
     return out if keep_text else out.drop("text")
 
 

@@ -1362,3 +1362,75 @@ def m13_gat_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: GAT relation scoring over the TACRED fixture with SDP-pruned
     adjacency (kernel parity pinned in tests/test_encoders.py)."""
     return _fixture_scored(spark, "gat")
+
+
+_DIR_RULE = """
+    SELECT event_type || (CASE WHEN user_id % 2 = 0
+                               THEN '(e1,e2)' ELSE '(e2,e1)' END) AS gold,
+           (CASE WHEN value > 50
+                 THEN event_type
+                 ELSE (CASE event_type WHEN 'click' THEN 'view' ELSE 'click' END)
+            END)
+           || (CASE WHEN event_id % 7 < 2
+                    THEN (CASE WHEN user_id % 2 = 0
+                               THEN '(e2,e1)' ELSE '(e1,e2)' END)
+                    ELSE (CASE WHEN user_id % 2 = 0
+                               THEN '(e1,e2)' ELSE '(e2,e1)' END)
+               END) AS pred
+    FROM events
+"""
+
+
+@register(
+    "e4_semeval_official",
+    f"""
+    WITH gp AS ({_DIR_RULE}),
+    d AS (
+        SELECT regexp_replace(gold, '\\(e[12],e[21]\\)', '') AS gold_class,
+               regexp_replace(pred, '\\(e[12],e[21]\\)', '') AS pred_class,
+               CASE WHEN gold = pred THEN 1 ELSE 0 END AS exact
+        FROM gp
+    ),
+    contrib AS (
+        SELECT gold_class AS label, exact AS tp, 0 AS fp, 1 - exact AS fn FROM d
+        UNION ALL
+        SELECT pred_class, 0, 1 - exact, 0 FROM d
+    ),
+    counts AS (
+        SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+        FROM contrib GROUP BY label HAVING label <> 'Other'
+    )
+    SELECT label,
+           ROUND(tp / (tp + fp + 1e-13), 6) AS precision,
+           ROUND(tp / (tp + fn + 1e-13), 6) AS recall,
+           ROUND(2.0 * (tp / (tp + fp + 1e-13)) * (tp / (tp + fn + 1e-13))
+                 / (tp / (tp + fp + 1e-13) + tp / (tp + fn + 1e-13) + 1e-13), 6) AS f1
+    FROM counts
+    """,
+)
+def e4_semeval_official(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: SemEval official-scorer per-label table — directional labels
+    collapsed for the class axis, wrong direction still FP+FN, Other
+    excluded (semeval2010_task8_evaluation.py:24-27; macro over this table
+    is the headline, metrics.f1.semeval_official_f1)."""
+    from relex_spark.metrics.f1 import f1_metrics, semeval_official_counts
+
+    ev = _t(spark, sf_dir, "events")
+    direction = F.when(F.col("user_id") % 2 == 0, "(e1,e2)").otherwise("(e2,e1)")
+    flipped = F.when(F.col("user_id") % 2 == 0, "(e2,e1)").otherwise("(e1,e2)")
+    pred_class = F.when(F.col("value") > 50, F.col("event_type")).otherwise(
+        F.when(F.col("event_type") == "click", F.lit("view")).otherwise(F.lit("click"))
+    )
+    gp = ev.select(
+        F.concat(F.col("event_type"), direction).alias("gold"),
+        F.concat(
+            pred_class, F.when(F.col("event_id") % 7 < 2, flipped).otherwise(direction)
+        ).alias("pred"),
+    )
+    m = f1_metrics(semeval_official_counts(gp))
+    return m.select(
+        "label",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
