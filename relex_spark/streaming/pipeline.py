@@ -82,3 +82,70 @@ def streaming_window_counts(
             "sum_value",
         )
     )
+
+
+ENTITY_STATE_OUTPUT = (
+    "conv_id STRING, batch_turns BIGINT, new_entities ARRAY<STRING>, "
+    "total_entities INT"
+)
+ENTITY_STATE_SCHEMA = "seen ARRAY<STRING>"
+
+
+def conversation_entity_state(
+    transcripts: DataFrame,
+    gazetteer_rows: list[tuple[str, str, str]] | None = None,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conversation, accumulate the set of entity ids mentioned so far and
+    emit, per micro-batch, the batch's newly-seen entities plus the running
+    total. State survives restarts via the streaming checkpoint — the
+    stateful analogue of the batch stage-resume protocol.
+
+    Streaming-only (Spark rejects applyInPandasWithState on batch queries;
+    the batch equivalent of this rollup is a plain groupBy(conv_id)
+    collect_set). Arrow-batched per group — no per-row Python (input_hint
+    requirement): mention detection runs JVM-side BEFORE the grouping, so
+    the Python side only folds entity-id arrays into the state set.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from relex_spark.operators.candidates import detect_mentions
+    from relex_spark.sources.transcripts import fixture_gazetteer_rows
+
+    rows = gazetteer_rows or fixture_gazetteer_rows()
+    mentions = detect_mentions(transcripts, rows, keep_text=False).select(
+        "conv_id",
+        "turn_idx",
+        F.transform(F.col("mentions"), lambda m: m["entity_id"]).alias("eids"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        before = len(seen)
+        new: list[str] = []
+        n_turns = 0
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            for eids in pdf["eids"]:
+                for eid in eids:
+                    if eid not in seen:
+                        seen.add(eid)
+                        new.append(eid)
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "batch_turns": [n_turns],
+                "new_entities": [sorted(new)],
+                "total_entities": [before + len(new)],
+            }
+        )
+
+    return mentions.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=ENTITY_STATE_OUTPUT,
+        stateStructType=ENTITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

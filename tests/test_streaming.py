@@ -108,3 +108,64 @@ def test_streaming_plan_is_stateless_before_sink(spark):
         assert scored.isStreaming
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_entity_accumulation_across_restarts(spark):
+    """applyInPandasWithState: per-conversation entity state persists in the
+    streaming checkpoint — entities seen in run 1 are NOT 'new' when a
+    second availableNow run (same checkpoint) processes later turns."""
+    import datetime as dt
+
+    from relex_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from relex_spark.streaming.pipeline import conversation_entity_state
+
+    tmp = tempfile.mkdtemp(prefix="relex_state_")
+    in_dir, out_dir, ck_dir = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    ts = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+        )
+        q = (
+            conversation_entity_state(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        batch1 = [
+            ("c1", 0, "user", "the Student joined the Association", None, ts),
+            ("c1", 1, "assistant", "the Association replied", None, ts),
+        ]
+        spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run_once()
+
+        batch2 = [
+            ("c1", 2, "user", "the Association sent a Cradle", None, ts),
+        ]
+        spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run_once()
+
+        rows = sorted(
+            spark.read.parquet(out_dir).collect(),
+            key=lambda r: r["total_entities"],
+        )
+        assert len(rows) == 2
+        first, second = rows
+        assert sorted(first["new_entities"]) == ["ent:association", "ent:student"]
+        assert first["total_entities"] == 2
+        # run 2: Association already in checkpointed state → only Cradle new
+        assert second["new_entities"] == ["ent:cradle"]
+        assert second["total_entities"] == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
