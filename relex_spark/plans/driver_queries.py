@@ -1434,3 +1434,86 @@ def e4_semeval_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS {_DEC})
+                    * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation broadcast chain into the
+    fact joins, same-nation customer/supplier equi-condition), shuffle agg.
+    Covers the region/nation/supplier dimension tables."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    first_region = region.agg(F.min("r_name").alias("r_name"))
+    region_pick = region.join(
+        F.broadcast(first_region), "r_name"
+    ).select("r_regionkey")
+    nations = F.broadcast(
+        nation.join(F.broadcast(region_pick), nation["n_regionkey"] == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp_n = supp.join(nations, supp["s_nationkey"] == nations["n_nationkey"]).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp_n),
+            (li["l_suppkey"] == F.col("s_suppkey"))
+            & (cust["c_nationkey"] == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_part_brand_revenue",
+    f"""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS {_DEC})
+                    * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+)
+def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension broadcast join on part with a pushed dim filter,
+    revenue per brand. Covers the part table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        )
+    )
