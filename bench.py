@@ -82,7 +82,9 @@ def main() -> int:
         li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     except Exception:  # noqa: BLE001
         li_rows = 60_000
-    n_convs = max(200, li_rows // 100)
+    # sf-proportional but large enough that per-job constants (~1-2 s of
+    # scheduling/AQE/noop-commit) don't dominate the throughput number
+    n_convs = max(200, li_rows // 20)
 
     transcripts = synthesize_transcripts(spark, n_convs=n_convs)
     # 4×cpus files: small corpora otherwise land in one 256 MB-split task
