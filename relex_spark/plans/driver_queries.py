@@ -978,9 +978,11 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    # materialized once: both verify joins read the same shingle partitions
+    # instead of re-running the shingle build per side
     sh = docs.select(
         F.col("doc_id"), token_shingles(F.col("text")).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
