@@ -100,3 +100,30 @@ def test_e5_evaluation_self_consistency(spark):
 
     real = evaluate_candidates(cands, wbc, "semeval2010")
     assert 0.0 <= real["f1"] <= 1.0
+
+
+def test_null_and_whitespace_text_rows_are_harmless(spark):
+    """Dirty real-world rows (null / empty / whitespace-only text) must not
+    crash the pipeline or create spurious candidates — and the text-equality
+    invariant counter flags only the non-round-trippable row."""
+    import datetime as dt
+
+    from relex_spark.plans.kg_pipeline import verify_text_invariant
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", None, None, ts),
+        ("c1", 1, "user", "", None, ts),
+        ("c1", 2, "user", "   ", None, ts),
+        ("c1", 3, "user", "the Student joined the Association", None, ts),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    out = build_triples(df, KGPipelineConfig()).collect()
+    assert [r["id"] for r in out] == ["c1:3:1"]
+    # whitespace-only text does not join/split round-trip → exactly 1 flag
+    assert verify_text_invariant(df) == 1
