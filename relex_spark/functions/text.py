@@ -36,12 +36,19 @@ GLOVE_BRACKET_MAP = {
 def split_ws(text: Column | str) -> Column:
     """P2: tokenize on whitespace runs, exactly like Python ``str.split()``.
 
-    ``split()`` alone yields empty strings for leading/trailing/multiple
+    ``(?U)`` is required: Java's ``\\s`` is ASCII-only by default, while the
+    reference's splitter is Python ``str.split()``, which treats Unicode
+    whitespace (NBSP, thin space, ideographic space, …) as separators —
+    without the flag, ``"a\\u00a0b"`` tokenizes differently from the
+    reference. (Remaining documented divergence: Python also treats the
+    C0 separator controls ``\\x1c``–``\\x1f`` as whitespace; Java's Unicode
+    White_Space property does not — no natural-language corpus contains
+    them.) ``split()`` yields empty strings for leading/trailing/multiple
     whitespace; the filter removes them so the result round-trips with
     ``join_ws`` (the per-turn text-equality invariant).
     """
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(col, r"(?U)\s+"), lambda t: t != F.lit(""))
 
 
 def join_ws(tokens: Column | str) -> Column:

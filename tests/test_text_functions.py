@@ -74,3 +74,20 @@ def test_truncate_and_lower(spark):
     ).collect()[0]
     assert r["t"] == ["A", "B"]
     assert r["l"] == ["a", "b", "c"]
+
+
+def test_split_ws_unicode_whitespace_parity(spark):
+    """P2 parity with Python str.split() on Unicode whitespace (NBSP, thin
+    space, ideographic space) — Java's default \\s is ASCII-only, so the
+    (?U) flag is load-bearing (semeval2010_task8.py:53-54 splitter)."""
+    cases = [
+        "a b",
+        "a b",
+        "a　b",
+        " a b ",
+        "  mixed  and\tascii  ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = df.select(split_ws("text").alias("toks")).collect()
+    for row, text in zip(got, cases):
+        assert list(row["toks"]) == text.split(), text
