@@ -42,8 +42,19 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (set semantics; consumers are
-    order-free: min-hash, intersection sizes)."""
-    toks = split_ws(text)
+    order-free: min-hash, intersection sizes).
+
+    PERFORMANCE: this inlines ``split_ws`` into the transform's lambda body,
+    and expressions inside higher-order-function lambdas are excluded from
+    codegen CSE, so the split re-runs once per position (measured 7× on the
+    shingle stage). Use ``shingled_docs`` (two projections) on any hot path;
+    this Column form is kept for composability in small expressions.
+    """
+    return shingles_from_tokens(split_ws(text), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingle expression over an (ideally materialized) tokens column."""
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
@@ -53,6 +64,25 @@ def token_shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def shingled_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    out_col: str = "sh",
+    hashed: bool = False,
+) -> DataFrame:
+    """docs + a shingle-set column, built via two projections so the token
+    split runs ONCE per row (a multi-referenced non-cheap alias blocks
+    CollapseProject; see token_shingles docstring). ``hashed=True`` maps
+    each shingle to its portable int64 hash (what the pairwise verify joins
+    consume)."""
+    with_toks = docs.withColumn("__toks", split_ws(F.col(text_col)))
+    sh = shingles_from_tokens(F.col("__toks"), shingle_n)
+    if hashed:
+        sh = F.array_distinct(F.transform(sh, lambda s: portable_hash64(s)))
+    return with_toks.withColumn(out_col, sh).drop("__toks")
 
 
 # MinHash affine family over a 31-bit prime field: seed k rehashes a base
@@ -114,8 +144,10 @@ def minhash_lsh_candidates(
     bucket key = (band_no, hash(band slice)) → self-join on bucket key.
     Output: id_a < id_b candidate pairs with the matching band."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(token_shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = minhash_signature(F.col("sh"), num_hashes)
+    with_sig = shingled_docs(docs, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    )
 
     band_structs = F.array(
         *[
@@ -181,21 +213,19 @@ def jaccard_pairs(
     per-pair intersection then compares fixed-width ints instead of strings
     — O(n·pairs) fewer bytes through the shuffle and the comparator
     (set-jaccard is hash-invariant modulo negligible md5 collisions)."""
-    hashed = F.array_distinct(
-        F.transform(
-            token_shingles(F.col(text_col), shingle_n),
-            lambda s: portable_hash64(s),
-        )
-    )
     # repartition BEFORE the self-join: both join sides then share one
     # shuffle of already-shingled rows, so the (expensive) shingle build
     # runs once per doc instead of once per side — measured 2× on the whole
     # query — and the join arrives pre-partitioned by the block key.
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        hashed.alias("sh"),
-    ).repartition("block")
+    sh = (
+        shingled_docs(docs, text_col, shingle_n, hashed=True)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("block"),
+            F.col("sh"),
+        )
+        .repartition("block")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -974,15 +974,17 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: LSH candidate generation → exact Jaccard
     verification join — shuffle is proportional to candidate pairs only
     (the scale shape for trillion-row dedup)."""
-    from relex_spark.operators.dedup import minhash_lsh_candidates, token_shingles
+    from relex_spark.operators.dedup import minhash_lsh_candidates, shingled_docs
 
     docs = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
     # materialized once: both verify joins read the same shingle partitions
     # instead of re-running the shingle build per side
-    sh = docs.select(
-        F.col("doc_id"), token_shingles(F.col("text")).alias("sh")
-    ).localCheckpoint(eager=False)
+    sh = (
+        shingled_docs(docs)
+        .select(F.col("doc_id"), F.col("sh"))
+        .localCheckpoint(eager=False)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
