@@ -140,3 +140,116 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
+
+    Centroids are a tiny dimension (broadcast); assignment is a broadcast
+    cross-join + per-vector top-nprobe window — one narrow pass over the
+    corpus, the IVF build/probe primitive.
+    Output: (id, v, centroid_id, crank) with crank in 1..nprobe.
+    """
+    cen = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("cv").alias("centroid_vec")
+        )
+    )
+    sim = _dot(F.col("v"), F.col("centroid_vec")) / (
+        _norm(F.col("v")) * _norm(F.col("centroid_vec"))
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(cen)
+        .select("id", "v", "centroid_id", sim.alias("csim"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .select("id", "v", "centroid_id", "crank")
+    )
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF 'training': pick n_centroids corpus vectors by
+    portable hash order (reproducible across runs/partitionings — the
+    engine-wide determinism rule). A Lloyd refinement is one extra
+    groupBy(centroid_id).agg(avg per dim) round if ever needed; seeded
+    selection is the documented contract here."""
+    from relex_spark.functions.text import portable_hash64
+
+    w = Window.orderBy(
+        portable_hash64(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_centroids)
+        .select(
+            (F.col("__r") - 1).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors bucketed by nearest centroid (inverted
+    file); each query probes its ``nprobe`` nearest centroids' lists and
+    exact-cosine-reranks only those candidates. Recall grows with nprobe
+    (nprobe == n_centroids degenerates to brute force). The scale shape:
+    centroid assignment is one narrow broadcast pass, the probe join is an
+    equi-join on centroid_id — shuffle proportional to probed candidates,
+    never |queries|×|corpus|.
+    """
+    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))),
+        6,
+    )
+    cand = (
+        probes.select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id"),
+        )
+        .join(
+            lists.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("cv2"),
+                F.col("centroid_id"),
+            ),
+            "centroid_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

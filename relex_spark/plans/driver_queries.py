@@ -1521,3 +1521,16 @@ def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
         )
     )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file scale path): seeded centroids, corpus bucketed
+    by nearest centroid, queries probe nprobe lists, exact rerank within
+    (full-probe == brute-force equivalence pinned in tests; rows-only here
+    since recall is configuration-dependent by design)."""
+    from relex_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2)

@@ -177,3 +177,38 @@ def test_lsh_bucketed_topk_subset_of_exact(spark):
     for r in approx:
         assert (r.query_id, r.neighbor_id) in exact
         assert r.cos_sim == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_topk_subset_and_full_probe_equals_bruteforce(spark):
+    """IVF ANN: results are (query, neighbor) pairs from the exact scorer
+    with identical cos_sim; probing ALL centroids recovers brute-force
+    top-k exactly."""
+    import math
+
+    from relex_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = [
+        (i, [math.cos(i * 0.31), math.sin(i * 0.31)] + [0.05 * (i % 4)] * 6)
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(queries, emb, k=23).collect()
+    }
+    approx = ivf_topk(queries, emb, k=3, n_centroids=4, nprobe=2).collect()
+    assert approx
+    for r in approx:
+        assert r.cos_sim == exact_all[(r.query_id, r.neighbor_id)]
+
+    exact_top3 = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(queries, emb, k=3, n_centroids=4, nprobe=4).collect()
+    }
+    assert full_probe == exact_top3
