@@ -78,5 +78,27 @@ def _bootstrap() -> None:
     register("encoder", "seq2seq_pool")(kernels.lstm_encode)
     register("encoder", "stacked_self_attention")(kernels.attention_encode)
 
+    # engine-extension operator families (no reference analogue)
+    from relex_spark.operators import dedup, similarity, textstats
+
+    register("dedup", "exact")(dedup.exact_dedup_groups)
+    register("dedup", "minhash_lsh")(dedup.minhash_lsh_candidates)
+    register("dedup", "simhash")(dedup.simhash16)
+    register("dedup", "ngram_jaccard")(dedup.jaccard_pairs)
+    register("dedup", "embedding_cosine")(dedup.embedding_cosine_pairs)
+    register("ann", "brute_force")(similarity.cosine_topk)
+    register("ann", "lsh")(similarity.lsh_bucketed_topk)
+    register("ann", "ivf")(similarity.ivf_topk)
+    register("textstat", "lang_id")(textstats.lang_id)
+    register("textstat", "quality_score")(textstats.quality_score)
+    register("textstat", "token_counts")(textstats.token_counts)
+    register("textstat", "fingerprint")(textstats.fingerprint)
+
+    from relex_spark.streaming import pipeline as streaming
+
+    register("streaming", "triples")(streaming.run_streaming_triples)
+    register("streaming", "window_counts")(streaming.streaming_window_counts)
+    register("streaming", "entity_state")(streaming.conversation_entity_state)
+
 
 _bootstrap()
