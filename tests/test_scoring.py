@@ -126,3 +126,44 @@ def test_planted_sentences_yield_reference_spans(spark):
             hit_turns.add((r["conv_id"], r["turn_idx"]))
     # every planted turn has the reference pair among its candidates
     assert len(hit_turns) == n_planted
+
+
+def test_predict_json_lifecycle(spark, weights):
+    """§3.3 JSON prediction: raw text + END-EXCLUSIVE spans → label from
+    the label set, probs > 0 summing to 1
+    (relation_classifier_predictor_test.py:12-55 contract)."""
+    from relex_spark.plans.predict import predict_records
+
+    config = KGPipelineConfig(weights=weights)
+    recs = [
+        {
+            "id": "j1",
+            "text": "the Student joined the Association yesterday",
+            "head": [1, 2],   # end-exclusive: token 1 only
+            "tail": [4, 5],
+        }
+    ]
+    out = predict_records(spark, recs, config).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["label"] in weights.labels
+    probs = list(row["probs"])
+    assert len(probs) == len(weights.labels)
+    assert all(p > 0 for p in probs)
+    assert abs(sum(probs) - 1.0) < 1e-5
+
+    # exclusive→inclusive conversion: same prediction as the equivalent
+    # pre-tokenized inclusive-span candidate through the batch path
+    import numpy as np
+
+    from relex_spark.scoring.kernels import forward_batch
+
+    toks = recs[0]["text"].split()
+    ids = [
+        weights.token_to_id.get(t.lower(), 1) for t in toks
+    ]
+    probs_ref, argmax = forward_batch(
+        weights, [ids], np.array([[1, 1]]), np.array([[4, 4]])
+    )
+    assert weights.labels[int(argmax[0])] == row["label"]
+    assert np.allclose(probs_ref[0], probs, atol=1e-5)
