@@ -19,7 +19,6 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,11 +82,18 @@ def _codec_available() -> bool:
         return False
 
 
-def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in featurizer: md5-seeded uniform vector."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.random(dim, dtype=np.float32)
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in featurizer, engine-portable by construction:
+    feature j = int(md5(hex(payload) + ':' + j)[:15 hex], 16) / 2^60 as a
+    DOUBLE in [0, 1). The same value is computable in ANSI-ish SQL from the
+    payload hex (DuckDB: md5 + substr + hex→BIGINT cast), so the driver
+    oracle can verify the full mapInPandas decode path value-for-value."""
+    hexpayload = payload.hex()
+    return [
+        int(hashlib.md5(f"{hexpayload}:{j}".encode()).hexdigest()[:15], 16)
+        / 1152921504606846976.0
+        for j in range(dim)
+    ]
 
 
 def decode_features(
@@ -101,7 +107,7 @@ def decode_features(
             T.StructField("media_id", T.LongType()),
             T.StructField("kind", T.StringType()),
             T.StructField("n_bytes", T.IntegerType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
     codec = _codec_available()

@@ -500,7 +500,10 @@ def _gold_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pred AS label, 0, CASE WHEN pred <> gold THEN 1 ELSE 0 END, 0
         FROM gp
     )
-    SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+    SELECT label,
+           CAST(SUM(tp) AS BIGINT) AS tp,
+           CAST(SUM(fp) AS BIGINT) AS fp,
+           CAST(SUM(fn) AS BIGINT) AS fn
     FROM contrib GROUP BY label
     """,
 )
@@ -1262,14 +1265,45 @@ def t_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")
+_MM_HEXPAYLOAD = " || ".join(
+    f"md5(CAST(range AS VARCHAR) || ':{i}')" for i in range(8)
+)
+
+_MM_H64 = "CAST(('0x' || substr(md5(hexpayload || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "mm_decode_features",
+    f"""
+    WITH media AS (
+        SELECT range AS media_id,
+               (['image','audio','video'])[CAST(range % 3 AS INT) + 1] AS kind,
+               {_MM_HEXPAYLOAD} AS hexpayload
+        FROM range(0, 256)
+    )
+    SELECT media_id, kind, CAST(128 AS INT) AS n_bytes,
+           array_to_string(list_transform(range(0, 16), j ->
+             CAST(CAST(floor({_MM_H64} / 1152921504606846976.0 * 1000000.0 + 0.5)
+                  AS BIGINT) AS VARCHAR)), ',') AS features_u6
+    FROM media
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload → Arrow-batched feature extraction
-    (deterministic fake featurizer; real codec stubbed — see
-    operators/multimodal.py)."""
+    (deterministic engine-portable featurizer; real codec stubbed — see
+    operators/multimodal.py). The feature vector is projected to
+    micro-unit integers joined as CSV so the result is hashable and the
+    DuckDB oracle can recompute it exactly from the payload hex."""
     from relex_spark.operators.multimodal import decode_features, synthesize_media
 
-    return decode_features(synthesize_media(spark, 256), dim=16)
+    feats = decode_features(synthesize_media(spark, 256), dim=16)
+    u6 = F.transform(
+        F.col("features"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").cast("string"),
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.array_join(u6, ",").alias("features_u6")
+    )
 
 
 @register(
