@@ -144,36 +144,55 @@ def lsh_bucketed_topk(
 
 def ivf_assign(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
 
-    Centroids are a tiny dimension (broadcast); assignment is a broadcast
-    cross-join + per-vector top-nprobe window — one narrow pass over the
-    corpus, the IVF build/probe primitive.
+    Zero shuffle and zero row inflation: the centroid table is tiny by
+    contract (the inverted-file fan-out), so it is collected once and
+    inlined as a literal array of (cid, cv, cnorm) structs; each vector's
+    top-``nprobe`` centroids come from a per-row transform → array_sort →
+    slice — one narrow pass over the corpus, no join, no window.
     Output: (id, v, centroid_id, crank) with crank in 1..nprobe.
     """
-    cen = F.broadcast(
-        centroids.select(
-            F.col("centroid_id"), F.col("cv").alias("centroid_vec")
+    if isinstance(centroids, DataFrame):
+        centroids = centroids.select("centroid_id", "cv").collect()
+    cent_lits = []
+    for row in sorted(centroids, key=lambda r: r["centroid_id"]):
+        cv = [float(x) for x in row["cv"]]
+        cnorm = sum(x * x for x in cv) ** 0.5
+        cent_lits.append(
+            F.struct(
+                F.lit(int(row["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(cnorm).alias("cnorm"),
+            )
         )
+    cents = F.array(*cent_lits)
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("__vnorm", _norm(F.col("v")))
+    # sort key (-cos, cid): ascending array_sort == (cos DESC, cid ASC)
+    sims = F.transform(
+        cents,
+        lambda c: F.struct(
+            (-_dot(F.col("v"), c["cv"]) / (F.col("__vnorm") * c["cnorm"])).alias(
+                "nsim"
+            ),
+            c["cid"].alias("cid"),
+        ),
     )
-    sim = _dot(F.col("v"), F.col("centroid_vec")) / (
-        _norm(F.col("v")) * _norm(F.col("centroid_vec"))
-    )
-    scored = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(cen)
-        .select("id", "v", "centroid_id", sim.alias("csim"))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= nprobe)
-        .select("id", "v", "centroid_id", "crank")
+    top = F.slice(F.array_sort(sims), 1, nprobe)
+    return base.select(
+        "id", "v", F.posexplode(top).alias("__pos", "__c")
+    ).select(
+        "id",
+        "v",
+        F.col("__c.cid").alias("centroid_id"),
+        (F.col("__pos") + 1).cast("int").alias("crank"),
     )
 
 
@@ -185,24 +204,25 @@ def seeded_centroids(
 ) -> DataFrame:
     """Deterministic IVF 'training': pick n_centroids corpus vectors by
     portable hash order (reproducible across runs/partitionings — the
-    engine-wide determinism rule). A Lloyd refinement is one extra
+    engine-wide determinism rule). The pick is ``orderBy(...).limit(n)``,
+    which compiles to TakeOrderedAndProject (per-partition top-k + driver
+    merge of k rows — no global sort); centroid ids are then ranked over
+    the already-tiny n-row result. A Lloyd refinement is one extra
     groupBy(centroid_id).agg(avg per dim) round if ever needed; seeded
     selection is the documented contract here."""
     from relex_spark.functions.text import portable_hash64
 
-    w = Window.orderBy(
-        portable_hash64(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))),
-        F.col(id_col),
+    h = portable_hash64(F.concat(F.lit("ivf:"), F.col("__id").cast("string")))
+    picked = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cv"))
+        .withColumn("__h", h)
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
     )
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= n_centroids)
-        .select(
-            (F.col("__r") - 1).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("cv"),
-        )
-    )
+    w = Window.orderBy("__h", "__id")  # over n_centroids rows only
+    return picked.withColumn(
+        "centroid_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("centroid_id", "cv")
 
 
 def ivf_topk(
@@ -218,13 +238,15 @@ def ivf_topk(
     file); each query probes its ``nprobe`` nearest centroids' lists and
     exact-cosine-reranks only those candidates. Recall grows with nprobe
     (nprobe == n_centroids degenerates to brute force). The scale shape:
-    centroid assignment is one narrow broadcast pass, the probe join is an
+    centroid assignment is one zero-shuffle pass per side (literal centroid
+    array, per-row argmin — no join, no window), the probe join is an
     equi-join on centroid_id — shuffle proportional to probed candidates,
     never |queries|×|corpus|.
     """
-    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
-    lists = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
-    probes = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    # one tiny driver collect (n_centroids rows) shared by both assignments
+    cent_rows = seeded_centroids(corpus, n_centroids, id_col, vec_col).collect()
+    lists = ivf_assign(corpus, cent_rows, nprobe=1, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(queries, cent_rows, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     cos = F.round(
         _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))),
         6,
@@ -245,7 +267,8 @@ def ivf_topk(
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedupe needed: corpus-side nprobe=1 puts each neighbor in
+        # exactly one inverted list, so (query_id, neighbor_id) is unique
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

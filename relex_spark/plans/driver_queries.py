@@ -737,9 +737,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
-@register(
-    "ann_cosine_topk",
-    """
+_ANN_COSINE_ORACLE = """
     WITH q AS (
         SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         FROM embeddings WHERE vec_id % 50 = 0
@@ -759,8 +757,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM s)
     WHERE rank <= 3
-    """,
-)
+    """
+
+
+@register("ann_cosine_topk", _ANN_COSINE_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 (exact ANN baseline): broadcast query set ×
     corpus, dot product as JVM-side aggregate(zip_with) — no Python."""
@@ -1557,14 +1557,17 @@ def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")
+@register("ann_ivf_topk", _ANN_COSINE_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (inverted-file scale path): seeded centroids, corpus bucketed
-    by nearest centroid, queries probe nprobe lists, exact rerank within
-    (full-probe == brute-force equivalence pinned in tests; rows-only here
-    since recall is configuration-dependent by design)."""
+    """IVF ANN (inverted-file scale path): seeded centroids picked via
+    TakeOrderedAndProject, corpus bucketed by nearest centroid in a
+    zero-shuffle literal-array argmin pass, queries probe nprobe lists,
+    exact rerank within. Registered at nprobe == n_centroids (full probe),
+    which is provably brute-force-equivalent (pinned in
+    tests/test_misc_surface.py) — so the exact-cosine oracle applies; the
+    nprobe < n_centroids recall path is covered by the same test."""
     from relex_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2)
+    return ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=8)
