@@ -83,11 +83,21 @@ def f1_metrics(counts: DataFrame) -> DataFrame:
 
 
 def f1_overall(
-    metrics: DataFrame, average: str = "macro", ignore_label: str | None = None
+    metrics: DataFrame,
+    average: str = "macro",
+    ignore_label: str | None = None,
+    labels: list[str] | None = None,
 ) -> dict[str, float]:
     """E2 overall: micro honors ignore_label; macro does NOT (reference
     quirk, f1_measure.py:128-146). Returns a 3-key dict (driver-side — the
-    input frame has ≤ num_labels rows)."""
+    input frame has ≤ num_labels rows).
+
+    ``labels``: the full vocabulary label list. The reference's F1Measure
+    seeds its defaultdict counters with EVERY vocab label
+    (f1_measure.py:64-83), so its macro denominators include zero-count
+    labels (each contributing P=R=0 after smoothing). Pass the vocab
+    labels (e.g. ``weights.labels``) to replicate that; with ``None`` the
+    macro averages only labels observed in gold∪pred."""
     if average == "micro":
         df = metrics
         if ignore_label is not None:
@@ -99,11 +109,11 @@ def f1_overall(
         precision = tp / (tp + fp + EPS)
         recall = tp / (tp + fn + EPS)
     elif average == "macro":
-        row = metrics.agg(
-            F.avg("precision").alias("p"), F.avg("recall").alias("r")
-        ).collect()[0]
-        precision = float(row["p"] or 0.0)
-        recall = float(row["r"] or 0.0)
+        rows = metrics.select("label", "precision", "recall").collect()
+        observed = {r["label"] for r in rows}
+        n = len(observed | set(labels)) if labels is not None else len(observed)
+        precision = sum(r["precision"] for r in rows) / n if n else 0.0
+        recall = sum(r["recall"] for r in rows) / n if n else 0.0
     else:
         raise ValueError(average)
     f1 = 2.0 * precision * recall / (precision + recall + EPS)
@@ -182,14 +192,20 @@ def semeval_official_f1(
 ) -> dict[str, float]:
     """E4: official-scorer headline re-expressed as aggregations — macro
     over the 9 relation classes (directional collapse for the class axis,
-    but a wrong direction still counts as FP+FN), excluding Other."""
+    but a wrong direction still counts as FP+FN), excluding Other.
+
+    The official perl scorer's macro line (which the reference runs and
+    regex-parses, semeval2010_task8_evaluation.py:26-28,35-53) reports
+    each of P, R, F1 as the MEAN of the per-class values — the headline F1
+    is the mean of per-class F1s, NOT the harmonic mean of macro P and R
+    (the two agree only when per-class P/R are symmetric)."""
     per_label = semeval_official_counts(joined, gold_col, pred_col)
     rows = f1_metrics(per_label).collect()
     if not rows:
         return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
     p = sum(r["precision"] for r in rows) / len(rows)
     r_ = sum(r["recall"] for r in rows) / len(rows)
-    f1 = 2.0 * p * r_ / (p + r_ + EPS)
+    f1 = sum(r["f1"] for r in rows) / len(rows)
     return {"precision": p, "recall": r_, "f1": f1}
 
 

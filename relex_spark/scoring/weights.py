@@ -77,6 +77,17 @@ class ModelWeights:
     offset_type: str = "relative"
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # Offset lookups index 1 + n_position + (pos - span) with pos up to
+        # max_len - 1; a too-small table would make negative numpy indices
+        # silently wrap to the wrong rows (positions left of the span) while
+        # positive overflow raises. Fail loudly at construction instead.
+        if self.n_position < self.max_len - 1:
+            raise ValueError(
+                f"n_position ({self.n_position}) must be >= max_len - 1 "
+                f"({self.max_len - 1}): offset-embedding indices would wrap"
+            )
+
     @property
     def d_in(self) -> int:
         if self.offset_type == "entity_only":

@@ -98,6 +98,41 @@ def test_semeval_official_directionality(spark):
     assert math.isclose(m["recall"], 0.25, rel_tol=1e-9)
 
 
+def test_semeval_official_headline_is_mean_of_class_f1(spark):
+    """Asymmetric per-class P/R: the official perl scorer's headline F1 is
+    the MEAN of per-class F1s, not the harmonic mean of macro P/R — the two
+    diverge here and the mean must win."""
+    rows = [
+        # Cause-Effect: tp=2, fp=0, fn=1 -> P=1, R=2/3, F1=0.8
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e1,e2)"),
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e1,e2)"),
+        ("Cause-Effect(e1,e2)", "Member-Collection(e1,e2)"),
+        # Member-Collection: tp=1, fp=1 (the miss above), fn=0 -> P=0.5, R=1, F1=2/3
+        ("Member-Collection(e1,e2)", "Member-Collection(e1,e2)"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    m = semeval_official_f1(df)
+    assert math.isclose(m["precision"], 0.75, rel_tol=1e-9)
+    assert math.isclose(m["recall"], (2 / 3 + 1) / 2, rel_tol=1e-9)
+    mean_f1 = (0.8 + 2 / 3) / 2
+    harmonic = 2 * m["precision"] * m["recall"] / (m["precision"] + m["recall"])
+    assert not math.isclose(mean_f1, harmonic, rel_tol=1e-6)  # genuinely asymmetric
+    assert math.isclose(m["f1"], mean_f1, rel_tol=1e-9)
+
+
+def test_macro_with_full_vocab_labels(spark):
+    """Reference F1Measure seeds counters with every vocab label
+    (f1_measure.py:64-83): zero-count labels dilute the macro average."""
+    metrics = f1_metrics(f1_counts(_joined(spark)))
+    base = f1_overall(metrics, "macro")
+    vocab = ["A", "B", "C", "no_relation", "D_unseen", "E_unseen"]
+    full = f1_overall(metrics, "macro", labels=vocab)
+    assert math.isclose(full["precision"], base["precision"] * 4 / 6, rel_tol=1e-9)
+    assert math.isclose(full["recall"], base["recall"] * 4 / 6, rel_tol=1e-9)
+    # observed labels alone reproduce the default
+    assert f1_overall(metrics, "macro", labels=["A", "B"]) == base
+
+
 def test_trial_summary(spark):
     trials = spark.createDataFrame(
         [("exp1", 0.8, 0.6, 0.7), ("exp1", 0.6, 0.4, 0.5), ("exp2", 1.0, 1.0, 1.0)],

@@ -167,3 +167,13 @@ def test_predict_json_lifecycle(spark, weights):
     )
     assert weights.labels[int(argmax[0])] == row["label"]
     assert np.allclose(probs_ref[0], probs, atol=1e-5)
+
+
+def test_weights_reject_offset_table_too_small():
+    """n_position < max_len - 1 would make offset lookups wrap to wrong
+    table rows (numpy negative indexing) — must fail at construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="n_position"):
+        build_fixture_weights(["a", "b"], n_position=10, max_len=64)
+    build_fixture_weights(["a", "b"], n_position=63, max_len=64)  # boundary ok
