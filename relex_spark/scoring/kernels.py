@@ -407,20 +407,32 @@ def lstm_encode(
     return out
 
 
+def _layer_norm(z: np.ndarray, gamma: np.ndarray, beta: np.ndarray) -> np.ndarray:
+    """AllenNLP LayerNorm: gamma*(z-mean)/(std+1e-6)+beta, population std
+    over the feature axis."""
+    mu = z.mean(axis=-1, keepdims=True)
+    sd = z.std(axis=-1, keepdims=True)
+    return gamma * (z - mu) / (sd + 1e-6) + beta
+
+
 def attention_encode(
     x: np.ndarray,
     lengths: np.ndarray,
     layers: list[dict],
     num_heads: int,
 ) -> np.ndarray:
-    """M10: stacked masked multi-head self-attention → (B, L, D).
+    """M10: stacked self-attention → (B, L, D), matching AllenNLP 0.9's
+    StackedSelfAttentionEncoder block at inference (all dropouts identity;
+    configs/.../baseline_self_attention.jsonnet:98-105). Per layer:
 
-    Engine variant of the reference's ``stacked_self_attention`` under
-    seq2seq_pool (configs/.../baseline_self_attention.jsonnet:98-105):
-    per layer, per head — scaled dot-product attention masked to valid
-    positions, concat heads, output projection, residual + ReLU. (AllenNLP's
-    block adds feedforward sublayers + layer norm; with engine-synthetic
-    weights the simplified block is the documented contract.)
+        ff  = Linear(relu(Linear(h)))            # 2-layer feedforward sublayer
+        ff  = LayerNorm_ff(ff + h)               # residual (dims equal here)
+        att = MultiHead(ff): per head, scaled dot-product attention with
+              padding keys masked, concat heads, output projection
+        h   = LayerNorm_out(att + ff)            # residual
+
+    Padding positions are re-zeroed after each layer; attention masks
+    padding keys, so valid-position outputs are batch-independent.
     """
     b, lmax, d = x.shape
     dh = d // num_heads
@@ -428,10 +440,13 @@ def attention_encode(
     att_bias = np.where(pos_mask[:, None, :], 0.0, -1e9)            # (B, 1, L)
     h = x
     for layer in layers:
-        q = h @ layer["wq"]
-        k = h @ layer["wk"]
-        v = h @ layer["wv"]
-        heads_out = np.empty_like(h)
+        ff = np.maximum(h @ layer["ffw1"] + layer["ffb1"], 0.0)
+        ff = ff @ layer["ffw2"] + layer["ffb2"]
+        ff = _layer_norm(ff + h, layer["ln_ff_g"], layer["ln_ff_b"])
+        q = ff @ layer["wq"]
+        k = ff @ layer["wk"]
+        v = ff @ layer["wv"]
+        heads_out = np.empty_like(ff)
         for hd in range(num_heads):
             sl = slice(hd * dh, (hd + 1) * dh)
             scores = q[:, :, sl] @ k[:, :, sl].transpose(0, 2, 1)
@@ -440,8 +455,10 @@ def attention_encode(
             e = np.exp(scores)
             att = e / e.sum(axis=-1, keepdims=True)
             heads_out[:, :, sl] = att @ v[:, :, sl]
-        h = np.maximum(h + heads_out @ layer["wo"], 0.0)
-        h *= pos_mask[:, :, None]
+        h = _layer_norm(
+            heads_out @ layer["wo"] + ff, layer["ln_out_g"], layer["ln_out_b"]
+        )
+        h = h * pos_mask[:, :, None]
     return h.astype(np.float32)
 
 

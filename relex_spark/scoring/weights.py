@@ -205,17 +205,40 @@ def build_fixture_weights(
     extra["lstm_ff_w"] = _mat(2 * lstm_hidden, len(labels))
     extra["lstm_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
 
-    # M10 stacked self-attention head (head count must divide d_in)
+    # M10 stacked self-attention head (head count must divide d_in).
+    # Block structure mirrors AllenNLP 0.9 StackedSelfAttentionEncoder
+    # (configs/.../baseline_self_attention.jsonnet:98-105): per layer a
+    # 2-layer feedforward sublayer (relu→linear) with residual + layer
+    # norm, then multi-head attention with residual + layer norm.
     extra["attn_heads"] = next(h for h in (4, 2, 1) if d_in % h == 0)
-    extra["attn_layers"] = [
-        {
-            "wq": _mat(d_in, d_in),
-            "wk": _mat(d_in, d_in),
-            "wv": _mat(d_in, d_in),
-            "wo": _mat(d_in, d_in),
-        }
-        for _ in range(2)
-    ]
+    attn_ffh = d_in  # feedforward_hidden_dim
+
+    def _ln_pair() -> tuple[np.ndarray, np.ndarray]:
+        g = 1.0 + rng.standard_normal(d_in, dtype=np.float32) * 0.1
+        b = rng.standard_normal(d_in, dtype=np.float32) * 0.1
+        return g.astype(np.float32), b
+
+    attn_layers = []
+    for _ in range(2):
+        ln_ff = _ln_pair()
+        ln_out = _ln_pair()
+        attn_layers.append(
+            {
+                "wq": _mat(d_in, d_in),
+                "wk": _mat(d_in, d_in),
+                "wv": _mat(d_in, d_in),
+                "wo": _mat(d_in, d_in),
+                "ffw1": _mat(d_in, attn_ffh),
+                "ffb1": rng.standard_normal(attn_ffh, dtype=np.float32) * 0.1,
+                "ffw2": _mat(attn_ffh, d_in),
+                "ffb2": rng.standard_normal(d_in, dtype=np.float32) * 0.1,
+                "ln_ff_g": ln_ff[0],
+                "ln_ff_b": ln_ff[1],
+                "ln_out_g": ln_out[0],
+                "ln_out_b": ln_out[1],
+            }
+        )
+    extra["attn_layers"] = attn_layers
     extra["attn_ff_w"] = _mat(d_in, len(labels))
     extra["attn_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
 

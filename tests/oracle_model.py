@@ -145,3 +145,84 @@ def oracle_predict_gcn(
         + pool_max(tail[0], min(tail[1], length - 1))
     )
     return _softmax_label(w, enc, w.extra["gcn_ff_w"], w.extra["gcn_ff_b"])
+
+
+def _ln_row(vec: list[float], gamma, beta) -> list[float]:
+    """AllenNLP LayerNorm on one position: g*(z-mean)/(std+1e-6)+b."""
+    n = len(vec)
+    mu = sum(vec) / n
+    var = sum((v - mu) ** 2 for v in vec) / n
+    sd = math.sqrt(var)
+    return [
+        float(gamma[o]) * (vec[o] - mu) / (sd + 1e-6) + float(beta[o])
+        for o in range(n)
+    ]
+
+
+def oracle_predict_attention(
+    w: ModelWeights,
+    tokens: list[str],
+    head: tuple[int, int],
+    tail: tuple[int, int],
+) -> tuple[str, list[float]]:
+    """M10 path: AllenNLP-0.9 StackedSelfAttentionEncoder block at
+    inference (feedforward sublayer + residual + layer norm, multi-head
+    attention + residual + layer norm) + max pool + linear head — per-row
+    loops, no numpy batching, independent of relex_spark.scoring.kernels."""
+    rows = _feature_rows(w, tokens, head, tail)
+    length = len(rows)
+    d = len(rows[0])
+    heads = w.extra["attn_heads"]
+    dh = d // heads
+
+    h = rows
+    for layer in w.extra["attn_layers"]:
+        ffw1, ffb1 = layer["ffw1"], layer["ffb1"]
+        ffw2, ffb2 = layer["ffw2"], layer["ffb2"]
+        ffh = ffw1.shape[1]
+        ff = []
+        for i in range(length):
+            mid = [
+                max(sum(h[i][k] * float(ffw1[k, m]) for k in range(d)) + float(ffb1[m]), 0.0)
+                for m in range(ffh)
+            ]
+            out = [
+                sum(mid[m] * float(ffw2[m, o]) for m in range(ffh)) + float(ffb2[o])
+                for o in range(d)
+            ]
+            ff.append(_ln_row([out[o] + h[i][o] for o in range(d)],
+                              layer["ln_ff_g"], layer["ln_ff_b"]))
+
+        def proj(mat):
+            return [
+                [sum(ff[i][k] * float(mat[k, o]) for k in range(d)) for o in range(d)]
+                for i in range(length)
+            ]
+
+        q, k_, v = proj(layer["wq"]), proj(layer["wk"]), proj(layer["wv"])
+        concat = [[0.0] * d for _ in range(length)]
+        for hd in range(heads):
+            lo = hd * dh
+            for i in range(length):
+                scores = [
+                    sum(q[i][lo + t] * k_[j][lo + t] for t in range(dh)) / math.sqrt(dh)
+                    for j in range(length)
+                ]
+                m = max(scores)
+                exps = [math.exp(s - m) for s in scores]
+                tot = sum(exps)
+                att = [e / tot for e in exps]
+                for t in range(dh):
+                    concat[i][lo + t] = sum(att[j] * v[j][lo + t] for j in range(length))
+        wo = layer["wo"]
+        nxt = []
+        for i in range(length):
+            out = [
+                sum(concat[i][k] * float(wo[k, o]) for k in range(d)) + ff[i][o]
+                for o in range(d)
+            ]
+            nxt.append(_ln_row(out, layer["ln_out_g"], layer["ln_out_b"]))
+        h = nxt
+
+    enc = [max(h[i][o] for i in range(length)) for o in range(d)]
+    return _softmax_label(w, enc, w.extra["attn_ff_w"], w.extra["attn_ff_b"])

@@ -87,3 +87,24 @@ def test_all_encoders_end_to_end_spark(spark, weights):
         rows = scored.collect()
         assert len(rows) == 3, encoder
         assert all(r["label"] in weights.labels for r in rows), encoder
+
+
+def test_attention_matches_per_row_oracle(weights):
+    """M10 kernel vs the independent per-row pure-Python oracle
+    (tests/oracle_model.py): same labels and probabilities on fixture
+    sentences — pins the AllenNLP block structure (ff sublayer + both
+    layer norms), not just shape/masking behavior."""
+    from tests.oracle_model import oracle_predict_attention
+
+    fixture = load_semeval_fixture()
+    idxs = [0, 3, 6]
+    ids_list, hs, ts = _fixture_batch(weights, idxs)
+    probs, argmax = forward_batch(weights, ids_list, hs, ts, encoder="attention")
+    for row, i in enumerate(idxs):
+        ex = fixture[i]
+        (h0, h1), (t0, t1) = ex["entities"]
+        label, oprobs = oracle_predict_attention(
+            weights, ex["tokens"], (h0, h1 - 1), (t0, t1 - 1)
+        )
+        assert weights.labels[argmax[row]] == label, i
+        assert np.allclose(probs[row], oprobs, atol=1e-4), i
