@@ -1002,11 +1002,38 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (no SQL oracle): the KG pipeline itself and the
-# dependency-graph path — genuinely non-SQL-expressible ops (iterative CC,
-# mapInPandas scoring, per-sentence tree pruning). The driver records the
-# weaker rows-only check; correctness is pinned by tests/ goldens instead.
+# Fixture-input queries (adjacency build + the non-flagship encoders): the
+# computation is non-SQL-expressible (tree pruning, mapInPandas forward
+# passes), but the fixture inputs are ≤12 deterministic rows, so the oracle
+# is a literal golden: SELECT ... FROM (VALUES ...). Goldens generated by
+# running the queries (run-to-run determinism verified) and cross-pinned by
+# the per-row pure-Python oracles in tests/.
+#
+# Rows-only entries that remain rows-only: kg_canonical_triples and
+# kg_scored_candidates — they read documents at the driver-supplied sf_dir,
+# so their outputs are scale-dependent and a literal golden would be wrong
+# at any other sf; correctness is pinned by tests/ goldens instead.
 # ---------------------------------------------------------------------------
+
+
+def _golden_oracle(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """Literal-VALUES oracle with explicit column types (so DuckDB's
+    inferred widths hash identically to Spark's)."""
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ",\n        ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return f"SELECT {casts} FROM (VALUES\n        {vals}\n    ) AS t({names})"
+
+
+_SCORED_COLS = [("id", "VARCHAR"), ("label", "VARCHAR"), ("score_u6", "BIGINT")]
 
 
 def _fixture_path(name: str) -> str:
@@ -1035,7 +1062,29 @@ def kg_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(transcripts_from_documents(docs), KGPipelineConfig())
 
 
-@register("g_adjacency_edges")
+@register(
+    "g_adjacency_edges",
+    _golden_oracle(
+        [("id", "VARCHAR"), ("n_edges", "INT"), ("edges", "VARCHAR")],
+        [
+            (
+                "e779865fb96bbbcc4ca4",
+                55,
+                "0,0;0,5;1,1;1,5;2,2;2,5;3,3;3,5;4,4;4,5;5,0;5,1;5,2;5,3;5,4;5,5;5,7;5,8;7,5;7,7;8,5;8,8;8,10;8,19;8,33;10,8;10,10;13,13;13,19;14,14;14,18;15,15;15,18;16,16;16,18;17,17;17,18;18,14;18,15;18,16;18,17;18,18;18,19;19,8;19,13;19,18;19,19;19,21;19,23;21,19;21,21;23,19;23,23;33,8;33,33",
+            ),
+            (
+                "e7798ae9c0adbcdc81e7",
+                52,
+                "0,0;0,5;1,1;1,5;2,2;2,5;3,3;3,5;4,4;4,5;5,0;5,1;5,2;5,3;5,4;5,5;5,7;6,6;6,7;7,5;7,6;7,7;7,15;7,27;8,8;8,15;9,9;9,10;9,11;9,13;9,15;10,9;10,10;11,9;11,11;13,9;13,13;14,14;14,15;15,7;15,8;15,9;15,14;15,15;15,16;15,22;16,15;16,16;22,15;22,22;27,7;27,27",
+            ),
+            (
+                "e7798fb926b9403cfcd2",
+                37,
+                "3,3;3,11;4,4;4,11;5,5;5,9;6,6;6,9;7,7;7,9;8,8;8,9;9,5;9,6;9,7;9,8;9,9;9,11;10,10;10,11;11,3;11,4;11,9;11,10;11,11;11,12;11,13;11,14;11,25;12,11;12,12;13,11;13,13;14,11;14,14;25,11;25,25",
+            ),
+        ],
+    ),
+)
 def g_adjacency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G4: SDP-pruned dependency adjacency on the TACRED fixture
     (golden-pinned in tests/test_adjacency.py against the reference's 77/37
@@ -1060,7 +1109,17 @@ def g_adjacency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m12_gcn_scored")
+@register(
+    "m12_gcn_scored",
+    _golden_oracle(
+        _SCORED_COLS,
+        [
+            ("e779865fb96bbbcc4ca4", "Content-Container(e1,e2)", 82823),
+            ("e7798ae9c0adbcdc81e7", "Content-Container(e1,e2)", 90171),
+            ("e7798fb926b9403cfcd2", "Content-Container(e1,e2)", 84596),
+        ],
+    ),
+)
 def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: GCN-encoder relation scoring over the TACRED fixture with
     SDP-pruned adjacency (oracle-parity pinned in tests/test_gcn.py)."""
@@ -1074,7 +1133,14 @@ def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_adj = with_adjacency(cands, prune=1, max_len=100)
     wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
-    return score_candidates(with_adj, wbc, keep_columns=["id"], encoder="gcn")
+    scored = score_candidates(with_adj, wbc, keep_columns=["id"], encoder="gcn")
+    return scored.select(
+        "id",
+        "label",
+        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_u6"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1379,23 +1445,77 @@ def _fixture_scored(spark: SparkSession, encoder: str) -> DataFrame:
         )
         cands = with_adjacency(cands, prune=1, max_len=100)
     wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
-    return score_candidates(cands, wbc, keep_columns=["id"], encoder=encoder)
+    scored = score_candidates(cands, wbc, keep_columns=["id"], encoder=encoder)
+    # score → micro-units: integer-stable across engines for the literal
+    # golden oracle (fixture inputs are deterministic, so outputs are too)
+    return scored.select(
+        "id",
+        "label",
+        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_u6"),
+    )
 
 
-@register("m9_bilstm_scored")
+@register(
+    "m9_bilstm_scored",
+    _golden_oracle(
+        _SCORED_COLS,
+        [
+            ("1", "Content-Container(e2,e1)", 97428),
+            ("2", "Content-Container(e2,e1)", 89629),
+            ("3", "Content-Container(e2,e1)", 81955),
+            ("4", "Content-Container(e2,e1)", 80326),
+            ("5", "Content-Container(e2,e1)", 84651),
+            ("6", "Content-Container(e2,e1)", 90010),
+            ("7", "Content-Container(e2,e1)", 97107),
+            ("8", "Message-Topic(e1,e2)", 79218),
+            ("9", "Content-Container(e2,e1)", 108924),
+            ("10", "Entity-Origin(e1,e2)", 90478),
+        ],
+    ),
+)
 def m9_bilstm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: BiLSTM (seq2seq_pool) relation scoring over the SemEval fixture
     (batch-independence + span-sensitivity pinned in tests/test_encoders.py)."""
     return _fixture_scored(spark, "bilstm")
 
 
-@register("m10_attention_scored")
+@register(
+    "m10_attention_scored",
+    _golden_oracle(
+        _SCORED_COLS,
+        [
+            ("1", "Entity-Destination(e2,e1)", 389632),
+            ("2", "Entity-Destination(e2,e1)", 714916),
+            ("3", "Entity-Destination(e2,e1)", 715961),
+            ("4", "Entity-Destination(e2,e1)", 290643),
+            ("5", "Entity-Destination(e2,e1)", 613505),
+            ("6", "Entity-Destination(e2,e1)", 520534),
+            ("7", "Entity-Destination(e2,e1)", 602002),
+            ("8", "Entity-Destination(e2,e1)", 438462),
+            ("9", "Entity-Destination(e2,e1)", 601033),
+            ("10", "Entity-Destination(e2,e1)", 545657),
+        ],
+    ),
+)
 def m10_attention_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10: stacked self-attention relation scoring over the SemEval fixture."""
+    """M10: stacked self-attention relation scoring over the SemEval fixture
+    (AllenNLP-faithful block; per-row oracle parity in tests/test_encoders.py)."""
     return _fixture_scored(spark, "attention")
 
 
-@register("m13_gat_scored")
+@register(
+    "m13_gat_scored",
+    _golden_oracle(
+        _SCORED_COLS,
+        [
+            ("e779865fb96bbbcc4ca4", "Member-Collection(e2,e1)", 69413),
+            ("e7798ae9c0adbcdc81e7", "Member-Collection(e1,e2)", 64570),
+            ("e7798fb926b9403cfcd2", "Member-Collection(e1,e2)", 66328),
+        ],
+    ),
+)
 def m13_gat_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: GAT relation scoring over the TACRED fixture with SDP-pruned
     adjacency (kernel parity pinned in tests/test_encoders.py)."""
