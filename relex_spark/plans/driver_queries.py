@@ -1522,6 +1522,62 @@ def m13_gat_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fixture_scored(spark, "gat")
 
 
+_NS_WEIGHTS = None
+
+
+def _ns_weights():
+    """M1 weights with ner/pos namespace embeddings over the TACRED fixture
+    vocab (memoized: the seeded build is driver-side serial cost)."""
+    global _NS_WEIGHTS
+    if _NS_WEIGHTS is None:
+        import json
+
+        from relex_spark.scoring.weights import build_fixture_weights
+
+        with open(_fixture_path("tacred_fixture.json")) as f:
+            data = json.load(f)
+        toks = sorted({t.lower() for ex in data for t in ex["token"]})
+        ner = sorted({t for ex in data for t in ex["stanford_ner"]})
+        pos = sorted({t for ex in data for t in ex["stanford_pos"]})
+        _NS_WEIGHTS = build_fixture_weights(
+            toks, namespaces={"ner": (ner, 8), "pos": (pos, 8)}
+        )
+    return _NS_WEIGHTS
+
+
+@register(
+    "m1_multi_namespace_scored",
+    _golden_oracle(
+        _SCORED_COLS,
+        [
+            ("e779865fb96bbbcc4ca4", "Member-Collection(e1,e2)", 264620),
+            ("e7798ae9c0adbcdc81e7", "Member-Collection(e1,e2)", 217903),
+            ("e7798fb926b9403cfcd2", "Member-Collection(e1,e2)", 243591),
+        ],
+    ),
+)
+def m1_multi_namespace_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: multi-namespace token embeddings — ner/pos tag embeddings
+    concatenated before the token embedding (AllenNLP sorted-key order;
+    basic_relation_classifier.py:186, tacred configs token_indexers), CNN
+    encoder on top. Per-row oracle parity in tests/test_scoring.py."""
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+
+    cands = tacred_to_candidates(
+        read_tacred_json(spark, _fixture_path("tacred_fixture.json")), max_len=100
+    )
+    wbc = broadcast_weights(spark, _ns_weights())
+    scored = score_candidates(cands, wbc, keep_columns=["id"], encoder="cnn")
+    return scored.select(
+        "id",
+        "label",
+        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_u6"),
+    )
+
+
 _DIR_RULE = """
     SELECT event_type || (CASE WHEN user_id % 2 = 0
                                THEN '(e1,e2)' ELSE '(e2,e1)' END) AS gold,

@@ -69,9 +69,18 @@ def relative_offset_index_batch(
 
 
 def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
-                head_spans: np.ndarray, tail_spans: np.ndarray) -> np.ndarray:
-    """M1 + M4×2 + M7: token embedding lookup, head/tail offset embedding
-    lookup, concatenation → (B, L, d_in) float32, zero at padding."""
+                head_spans: np.ndarray, tail_spans: np.ndarray,
+                ns_ids: dict[str, np.ndarray] | None = None) -> np.ndarray:
+    """M1 + M4×2 + M7: namespace + token embedding lookups, head/tail
+    offset embedding lookup, concatenation → (B, L, d_in) float32, zero at
+    padding.
+
+    Multi-namespace (M1): when the weights carry ``extra["ns_emb"]``
+    (e.g. ner/pos), each namespace's (B, L) id matrix in ``ns_ids`` is
+    embedded and concatenated BEFORE the token embedding, in sorted
+    namespace order — AllenNLP BasicTextFieldEmbedder concatenates text
+    field keys in sorted order and ner_tokens < pos_tokens < tokens
+    (basic_relation_classifier.py:186, tacred configs token_indexers)."""
     b, lmax = ids.shape
     pos = np.arange(lmax)[None, :]
     mask = pos < lengths[:, None]
@@ -83,7 +92,17 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
     # next embed_batch call in this worker — callers consume it within the
     # same forward chunk.
     out = _pooled("embed_x", (b, lmax, d_total))
-    out[:, :, :d_emb] = w.emb[ids]                      # (B, L, d_emb)
+    c0 = 0
+    ns_emb = w.extra.get("ns_emb") or {}
+    if ns_emb:
+        if ns_ids is None:
+            raise ValueError("weights carry ns_emb but no ns_ids supplied")
+        for name in sorted(ns_emb):
+            m = ns_emb[name]
+            out[:, :, c0 : c0 + m.shape[1]] = m[ns_ids[name]]
+            c0 += m.shape[1]
+    out[:, :, c0 : c0 + d_emb] = w.emb[ids]             # (B, L, d_emb)
+    c0 += d_emb
 
     if w.offset_type == "relative":
         hidx = relative_offset_index_batch(
@@ -93,19 +112,19 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
             lengths, tail_spans[:, 0], tail_spans[:, 1], w.n_position, lmax
         )
         d_h = w.head_offset_emb.shape[1]
-        out[:, :, d_emb : d_emb + d_h] = w.head_offset_emb[hidx]
-        out[:, :, d_emb + d_h :] = w.tail_offset_emb[tidx]
+        out[:, :, c0 : c0 + d_h] = w.head_offset_emb[hidx]
+        out[:, :, c0 + d_h :] = w.tail_offset_emb[tidx]
     elif w.offset_type == "sine":
         # M5 (sine_offset_embedder.py:49-60): index anchored at span start
         hidx = np.where(mask, 1 + w.n_position + pos - head_spans[:, :1], 0)
         tidx = np.where(mask, 1 + w.n_position + pos - tail_spans[:, :1], 0)
         d_h = w.head_offset_emb.shape[1]
-        out[:, :, d_emb : d_emb + d_h] = w.head_offset_emb[hidx]
-        out[:, :, d_emb + d_h :] = w.tail_offset_emb[tidx]
+        out[:, :, c0 : c0 + d_h] = w.head_offset_emb[hidx]
+        out[:, :, c0 + d_h :] = w.tail_offset_emb[tidx]
     elif w.offset_type == "entity_only":
         # M6 (entity_only_offset_embedder.py:33-38): 1.0 at span start
-        out[:, :, d_emb] = pos == head_spans[:, :1]
-        out[:, :, d_emb + 1] = pos == tail_spans[:, :1]
+        out[:, :, c0] = pos == head_spans[:, :1]
+        out[:, :, c0 + 1] = pos == tail_spans[:, :1]
     else:
         raise ValueError(f"unknown offset_type {w.offset_type!r}")
 
@@ -332,6 +351,7 @@ def forward_batch(
     encoder: str = "cnn",
     adjacency: list | None = None,
     return_enc: bool = False,
+    ns_ids_list: dict[str, list[list[int]]] | None = None,
 ) -> tuple:
     """Full forward pass for one micro-batch → (probs (B, C), argmax (B,))
     [+ encoded (B, d_enc) when ``return_enc`` — M19 representation tap,
@@ -353,7 +373,19 @@ def forward_batch(
         r1 = min(n, r0 + FORWARD_CHUNK_ROWS)
         ids, lengths = pad_batch(ids_list[r0:r1])
         hs, ts = head_spans[r0:r1], tail_spans[r0:r1]
-        x = embed_batch(w, ids, lengths, hs, ts)
+        ns_ids = None
+        if ns_ids_list is not None:
+            lmax = ids.shape[1]
+            ns_ids = {}
+            for name, seqs in ns_ids_list.items():
+                # clip to the token length (upstream truncation applies to
+                # tokens; tag sequences align to the pre-truncation tokens)
+                padded = np.zeros((ids.shape[0], lmax), dtype=np.int64)
+                for i, seq in enumerate(seqs[r0:r1]):
+                    m = min(len(seq), int(lengths[i]))
+                    padded[i, :m] = seq[:m]
+                ns_ids[name] = padded
+        x = embed_batch(w, ids, lengths, hs, ts, ns_ids=ns_ids)
         adj_c = adjacency[r0:r1] if adjacency is not None else None
         enc, ff_w, ff_b = _encode_chunk(w, x, lengths, hs, ts, encoder, adj_c)
         logits = enc @ ff_w + ff_b

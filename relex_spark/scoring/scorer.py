@@ -70,6 +70,10 @@ def score_candidates(
     feature_cols = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
     if encoder in ("gcn", "gat"):
         feature_cols.append("adjacency")  # per-row edge lists (G1-G4 output)
+    # M1 multi-namespace embeddings: weights built with namespaces (e.g.
+    # ner/pos) pull the matching tag-sequence columns through the batch
+    ns_names = sorted((weights_bc.value.extra.get("ns_emb") or {}).keys())
+    feature_cols += ns_names
     if keep_columns is None:
         keep_columns = [c for c in candidates.columns if c not in feature_cols]
 
@@ -106,6 +110,14 @@ def score_candidates(
             adjacency = (
                 list(pdf["adjacency"]) if encoder in ("gcn", "gat") else None
             )
+            ns_ids_list = (
+                {
+                    name: [w.ns_ids(name, list(tags)) for tags in pdf[name]]
+                    for name in ns_names
+                }
+                if ns_names
+                else None
+            )
             res = forward_batch(
                 w,
                 ids_list,
@@ -114,6 +126,7 @@ def score_candidates(
                 encoder=encoder,
                 adjacency=adjacency,
                 return_enc=with_representation,
+                ns_ids_list=ns_ids_list,
             )
             probs, argmax = res[0], res[1]
             out = pdf[keep_columns].copy()

@@ -89,14 +89,29 @@ class ModelWeights:
             )
 
     @property
+    def ns_dims(self) -> int:
+        """Extra feature width from multi-namespace embeddings (M1): the
+        TACRED configs add ner_tokens/pos_tokens indexers whose embeddings
+        the TextFieldEmbedder concatenates (basic_relation_classifier.py:186,
+        configs/.../tacred/baseline_boe_tacred.jsonnet:38-48,70-78)."""
+        ns_emb = self.extra.get("ns_emb") or {}
+        return sum(m.shape[1] for m in ns_emb.values())
+
+    @property
     def d_in(self) -> int:
         if self.offset_type == "entity_only":
-            return self.emb.shape[1] + 2  # one indicator per span (M6)
+            return self.ns_dims + self.emb.shape[1] + 2  # one indicator per span (M6)
         return (
-            self.emb.shape[1]
+            self.ns_dims
+            + self.emb.shape[1]
             + self.head_offset_emb.shape[1]
             + self.tail_offset_emb.shape[1]
         )
+
+    def ns_ids(self, namespace: str, tags: list[str]) -> list[int]:
+        """Namespace tag→id with OOV fallback (e.g. ner/pos sequences)."""
+        vocab = self.extra["ns_vocab"][namespace]
+        return [vocab.get(t, OOV_ID) for t in tags]
 
     def token_ids(self, tokens: list[str]) -> list[int]:
         """V3: token→id with OOV fallback; single_id lowercase_tokens
@@ -118,11 +133,20 @@ def build_fixture_weights(
     max_len: int = 100,
     labels: list[str] | None = None,
     offset_type: str = "relative",
+    namespaces: dict[str, tuple[list[str], int]] | None = None,
 ) -> ModelWeights:
     """Seeded-deterministic weights over a supplied (already-ordered) vocab.
 
     ``vocab_tokens`` must be deterministic — use operators.vocab.build_vocab
     output (count desc, token asc) or a sorted token list.
+
+    ``namespaces``: M1 multi-namespace token embeddings — e.g.
+    ``{"ner": (tags, 8), "pos": (tags, 8)}`` builds a (pad=0, oov=1)-seeded
+    vocab + embedding matrix per namespace; the kernel concatenates them in
+    sorted namespace order before the token embedding, matching AllenNLP's
+    BasicTextFieldEmbedder sorted-key concat (ner_tokens < pos_tokens <
+    tokens). Namespace matrices are drawn AFTER every other parameter so
+    the default (namespaces=None) weights are bit-identical to before.
     """
     labels = labels or SEMEVAL_LABELS
     rng = np.random.default_rng(seed)
@@ -146,7 +170,8 @@ def build_fixture_weights(
     head_off = offset_table()
     tail_off = offset_table()
 
-    d_in = d_emb + (2 if offset_type == "entity_only" else 2 * d_off)
+    ns_total = sum(dim for _, dim in namespaces.values()) if namespaces else 0
+    d_in = ns_total + d_emb + (2 if offset_type == "entity_only" else 2 * d_off)
     cnn = {}
     for k in ngram_sizes:
         w = rng.standard_normal((k * d_in, num_filters), dtype=np.float32)
@@ -259,6 +284,24 @@ def build_fixture_weights(
         g_in = gat_hidden
     extra["gat_ff_w"] = _mat(3 * gat_hidden, len(labels))
     extra["gat_ff_b"] = rng.standard_normal(len(labels), dtype=np.float32) * 0.1
+
+    # M1 namespaces last: keeps the rng draw sequence (and so every weight
+    # above) unchanged when namespaces is None.
+    if namespaces:
+        ns_vocab: dict[str, dict[str, int]] = {}
+        ns_emb: dict[str, np.ndarray] = {}
+        for name in sorted(namespaces):
+            tags, dim = namespaces[name]
+            vocab = {"<pad>": PAD_ID, "<oov>": OOV_ID}
+            for t in sorted(set(tags)):
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+            m = rng.standard_normal((len(vocab), dim), dtype=np.float32) * 0.5
+            m[PAD_ID] = 0.0
+            ns_vocab[name] = vocab
+            ns_emb[name] = m
+        extra["ns_vocab"] = ns_vocab
+        extra["ns_emb"] = ns_emb
 
     return ModelWeights(
         offset_type=offset_type,

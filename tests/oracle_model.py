@@ -30,14 +30,23 @@ def _feature_rows(
     tokens: list[str],
     head: tuple[int, int],
     tail: tuple[int, int],
+    ns_tags: dict[str, list[str]] | None = None,
 ) -> list[list[float]]:
-    """M1 + M4 + M7: per-position concatenated feature vectors."""
+    """M1 + M4 + M7: per-position concatenated feature vectors (namespace
+    embeddings in sorted-name order first, then tokens, then offsets —
+    AllenNLP sorted-key concat)."""
     ids = [
         w.token_to_id.get(t.lower() if w.lowercase else t, OOV_ID) for t in tokens
     ]
     rows: list[list[float]] = []
     for p in range(len(ids)):
-        vec = list(map(float, w.emb[ids[p]]))
+        vec: list[float] = []
+        if ns_tags:
+            for name in sorted(ns_tags):
+                vocab = w.extra["ns_vocab"][name]
+                m = w.extra["ns_emb"][name]
+                vec += list(map(float, m[vocab.get(ns_tags[name][p], OOV_ID)]))
+        vec += list(map(float, w.emb[ids[p]]))
         hi = _offset_index(p, head[0], head[1], w.n_position)
         ti = _offset_index(p, tail[0], tail[1], w.n_position)
         vec += list(map(float, w.head_offset_emb[hi]))
@@ -66,9 +75,10 @@ def oracle_predict(
     tokens: list[str],
     head: tuple[int, int],
     tail: tuple[int, int],
+    ns_tags: dict[str, list[str]] | None = None,
 ) -> tuple[str, list[float]]:
     """Forward one example: returns (label, class_probabilities)."""
-    rows = _feature_rows(w, tokens, head, tail)
+    rows = _feature_rows(w, tokens, head, tail, ns_tags)
     length = len(rows)
 
     # M8: CNN (ReLU + max over valid windows; short rows -> relu(bias))

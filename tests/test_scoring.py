@@ -177,3 +177,40 @@ def test_weights_reject_offset_table_too_small():
     with pytest.raises(ValueError, match="n_position"):
         build_fixture_weights(["a", "b"], n_position=10, max_len=64)
     build_fixture_weights(["a", "b"], n_position=63, max_len=64)  # boundary ok
+
+
+def test_multi_namespace_scoring_matches_oracle(spark):
+    """M1: ner/pos namespace embeddings through the Spark stage vs the
+    per-row pure-Python oracle (sorted-namespace concat order)."""
+    import numpy as np
+
+    from relex_spark.plans.driver_queries import _ns_weights
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+    from tests.oracle_model import oracle_predict
+
+    w = _ns_weights()
+    assert w.ns_dims == 16 and w.d_in == 32 + 16 + 16 + 16
+    cands = tacred_to_candidates(
+        read_tacred_json(spark, "relex_spark/data/tacred_fixture.json"), max_len=100
+    )
+    wbc = broadcast_weights(spark, w)
+    scored = score_candidates(
+        cands, wbc, keep_columns=["id"], encoder="cnn", with_probs=True
+    )
+    got = {r["id"]: r for r in scored.collect()}
+
+    rows = cands.select(
+        "id", "tokens", "head_start", "head_end", "tail_start", "tail_end", "ner", "pos"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        label, probs = oracle_predict(
+            w,
+            list(r["tokens"]),
+            (r["head_start"], r["head_end"]),
+            (r["tail_start"], r["tail_end"]),
+            ns_tags={"ner": list(r["ner"]), "pos": list(r["pos"])},
+        )
+        assert got[r["id"]]["label"] == label, r["id"]
+        assert np.allclose(got[r["id"]]["probs"], probs, atol=1e-4), r["id"]
