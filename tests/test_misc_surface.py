@@ -212,3 +212,22 @@ def test_ivf_topk_subset_and_full_probe_equals_bruteforce(spark):
         for r in ivf_topk(queries, emb, k=3, n_centroids=4, nprobe=4).collect()
     }
     assert full_probe == exact_top3
+
+
+def test_token_vocab_rank_spans_partitions(spark):
+    """V1's two-phase rank (range partition + local rank + offsets) must
+    equal a global (cnt DESC, token ASC) row_number even when the vocab
+    spans many range partitions."""
+    from relex_spark.operators.vocab import build_token_vocab
+
+    # 500 distinct tokens, counts 1..500 (min_count=2 drops exactly one)
+    rows = [([f"tok{i:03d}"] * (i % 37 + 1),) for i in range(500)]
+    df = spark.createDataFrame(rows, "tokens array<string>").repartition(16)
+    got = {r["token"]: (r["cnt"], r["id"]) for r in build_token_vocab(df, min_count=2).collect()}
+    expected = sorted(
+        ((i % 37 + 1, f"tok{i:03d}") for i in range(500) if i % 37 + 1 >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert len(got) == len(expected)
+    for rank, (cnt, tok) in enumerate(expected):
+        assert got[tok] == (cnt, rank + 2), tok
