@@ -127,3 +127,20 @@ def test_null_and_whitespace_text_rows_are_harmless(spark):
     assert [r["id"] for r in out] == ["c1:3:1"]
     # whitespace-only text does not join/split round-trip → exactly 1 flag
     assert verify_text_invariant(df) == 1
+
+
+def test_connected_components_long_chain_and_cycle(spark):
+    """Non-star graphs (the case the alias-star fixtures never hit): a
+    16-node chain, a cycle, and two merged stars must all collapse to
+    their minimum label."""
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)]
+    cycle = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    stars = [("hub1", f"s{i}") for i in range(5)] + [
+        ("hub2", f"s{i}") for i in range(4, 8)
+    ]
+    edges = spark.createDataFrame(chain + cycle + stars, "src string, dst string")
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(comp[f"n{i:02d}"] == "n00" for i in range(16))
+    assert all(comp[c] == "c1" for c in ["c1", "c2", "c3", "c4"])
+    merged = {comp["hub1"], comp["hub2"]} | {comp[f"s{i}"] for i in range(8)}
+    assert merged == {"hub1"}
