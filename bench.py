@@ -122,6 +122,19 @@ def main() -> int:
 
     n_canon = _canon_job()  # discarded warm run (codegen compile, CC loop)
     timings["kg_canonicalize"] = best_of(_canon_job, n=2)
+
+    # Salted variant under the planted Zipf skew (transcripts.py: hot_convs
+    # are hot_factor× longer, so their sentences repeat into hot
+    # (subj, pred, obj) keys) — measured evidence for the salt_buckets knob
+    # (salted == unsalted output parity is pinned in tests).
+    def _canon_salted_job() -> int:
+        components = connected_components(
+            alias_edges_from_gazetteer(gazetteer_df(spark))
+        )
+        return canonicalize_triples(scored, components, salt_buckets=8).count()
+
+    _canon_salted_job()  # warm
+    timings["kg_canonicalize_salted"] = best_of(_canon_salted_job, n=2)
     scored.unpersist()
 
     total = round(sum(timings.values()), 3)

@@ -73,6 +73,21 @@ def cosine_topk(
     )
 
 
+def plane_signs(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: sign(p, j) = +1 iff the
+    60-bit md5 hash of "seed:p:j" is even — the portable_hash64 scheme, so
+    any engine (the DuckDB oracle included) reproduces the same planes."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1.0 if h64(f"{seed}:{p}:{j}") % 2 == 0 else -1.0 for j in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_bucket(vec: Column, n_planes: int, dim: int, seed: str = "lsh") -> Column:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1), pure SQL.
 
@@ -80,22 +95,16 @@ def hyperplane_bucket(vec: Column, n_planes: int, dim: int, seed: str = "lsh") -
     h(seed,p,j) mapped to ±1; the bucket bit is the projection's sign.
     Engine-independent (md5-based), so corpus bucketing is reproducible
     across runs and clusters — required for incremental index maintenance.
+    The signs depend only on (seed, p, j), so they are computed once
+    driver-side and inlined as literal arrays: the per-row work is one
+    zip_with dot product per plane, no hashing on the hot path.
     """
-    from relex_spark.functions.text import portable_hash64
-
-    def signed_term(p: int):
-        # two-parameter lambda REQUIRED: pyspark dispatches by arity, so the
-        # plane index must be a closure, not a defaulted third parameter
-        return lambda v, j: v.cast("double") * F.when(
-            portable_hash64(F.concat(F.lit(f"{seed}:{p}:"), j.cast("string"))) % 2
-            == 0,
-            1.0,
-        ).otherwise(-1.0)
-
+    signs = plane_signs(n_planes, dim, seed)
     bucket = F.lit(0).cast("int")
     for p in range(n_planes):
+        sarr = F.array(*[F.lit(s) for s in signs[p]])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(p)),
+            F.zip_with(vec, sarr, lambda v, s: v.cast("double") * s),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )

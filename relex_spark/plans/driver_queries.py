@@ -771,6 +771,55 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=3)
 
 
+def _lsh_oracle(n_planes: int = 4, dim: int = 64) -> str:
+    """LSH-bucketed ANN oracle: the ±1 plane components are the same
+    driver-side md5 constants the Spark operator inlines, so the DuckDB
+    side reproduces bucket assignment exactly."""
+    from relex_spark.operators.similarity import plane_signs
+
+    signs = plane_signs(n_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{arr}]) > 0 THEN {bit} ELSE 0 END)".format(
+            arr=", ".join(str(s) for s in signs[p]), bit=2**p
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    s AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+        FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets: candidates share the query's
+    bucket, exact cosine rerank within — the 100 TB path where the bucket
+    id is the corpus partition key. Bucket assignment is one literal-array
+    dot product per plane (no hashing per row); recall < 1 by construction
+    (subset-of-exact pinned in tests)."""
+    from relex_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_bucketed_topk(queries, emb, k=3, n_planes=4, dim=64)
+
+
 @register(
     "text_quality",
     rf"""
