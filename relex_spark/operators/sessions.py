@@ -1,0 +1,129 @@
+"""Gap-based sessionization + as-of join — transcript/event-stream
+analytics operators (engine extensions; the reference has no event-time
+processing).
+
+Both are single-shuffle plans keyed by the entity column; the window sort
+happens within each key's partition, so the shape survives a 1000-executor
+scale-up (hot keys are handled by AQE skew splitting; a key's events must
+be totally ordered anyway, which is the operator's semantic lower bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col) -> Column:
+    """Exact integer epoch microseconds; tolerates TIMESTAMP_NTZ scans
+    (session timezone is pinned to UTC, so the cast is value-preserving)."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign a per-key session index: a new session starts when the time
+    since the key's previous event exceeds ``gap_seconds``.
+
+    Classic two-window formulation sharing ONE partitioning (single
+    shuffle): lag → boundary flag → running sum of flags = session index
+    (1-based). Ties on ts are broken by ``order_col`` so the result is a
+    total order (engine determinism rule).
+
+    Output: input columns + ``session_idx INT``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # exact integer microsecond math (timestamps carry sub-second parts;
+    # float epoch would round differently across engines)
+    is_boundary = (
+        prev_ts.isNull()
+        | (_micros(ts_col) - _micros(prev_ts) > gap_seconds * 1_000_000)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_idx", F.sum(is_boundary).over(wsum).cast("int")
+    )
+
+
+def session_bounds(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session summary: (key, session_idx, n_events, start/end epoch).
+
+    The groupBy reuses the sessionize shuffle's partitioning (same key),
+    so Catalyst plans it without a second exchange on the key column.
+    """
+    s = sessionize(df, key_col, ts_col, order_col, gap_seconds)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_micros(ts_col)).cast("bigint").alias("start_us"),
+        F.max(_micros(ts_col)).cast("bigint").alias("end_us"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row's
+    values at the greatest right.ts <= left.ts within the same key
+    (the standard market-data/point-in-time join; DuckDB's native
+    ASOF JOIN is the oracle formulation).
+
+    Spark-first shape: no range join, no per-key collect — tag and UNION
+    both sides, then one window per key ordered by (ts, right-before-left)
+    carrying the last non-null right values forward. Exactly one shuffle
+    (by key); the right side is NOT required to be small.
+
+    ``right`` must be unique per (key, ts) — pre-aggregate if not.
+    Output: left columns + the carried ``value_cols`` (null when no right
+    row precedes).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key_col, ts_col)]
+    left_cols = left.columns
+
+    def null_as(c: str, typ_src: DataFrame) -> Column:
+        return F.lit(None).cast(typ_src.schema[c].dataType).alias(c)
+
+    l_tag = left.select(
+        *left_cols,
+        *[null_as(c, right) for c in value_cols],
+        F.lit(0).alias("__is_right"),
+    )
+    r_tag = right.select(
+        *[null_as(c, left) if c not in (key_col, ts_col) else F.col(c) for c in left_cols],
+        *value_cols,
+        F.lit(1).alias("__is_right"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts => ts >= match semantics
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.desc("__is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *left_cols,
+        "__is_right",
+        *[
+            F.last(F.when(F.col("__is_right") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__is_right") == 0).drop("__is_right")

@@ -1782,6 +1782,83 @@ def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    x AS (
+        SELECT user_id, ts,
+               SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM s
+    )
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           COUNT(*) AS n_events,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us
+    FROM x GROUP BY user_id, session_idx
+    """,
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the event stream —
+    transcript/event analytics extension; exact integer-microsecond gap
+    math so both engines agree on boundaries."""
+    from relex_spark.operators.sessions import session_bounds
+
+    return session_bounds(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "x_asof_join",
+    """
+    WITH l AS (
+        SELECT event_id, event_type, ts FROM events WHERE event_id % 10 = 0
+    ),
+    r AS (
+        SELECT event_type, ts, MAX(value) AS ref_value
+        FROM events WHERE event_id % 53 = 0
+        GROUP BY event_type, ts
+    )
+    SELECT l.event_id, l.event_type,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           ROUND(r.ref_value, 6) AS ref_value
+    FROM l ASOF LEFT JOIN r
+      ON l.event_type = r.event_type AND l.ts >= r.ts
+    """,
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (point-in-time lookup): each sampled event gets
+    the reference value at the greatest reference ts <= event ts within its
+    event_type. Spark side is the union+window formulation (one shuffle, no
+    range join); the oracle is DuckDB's native ASOF JOIN — two independent
+    formulations of the same semantics."""
+    from relex_spark.operators.sessions import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    right = (
+        ev.where(F.col("event_id") % 53 == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = asof_join(left, right, key_col="event_type", ts_col="ts")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("bigint").alias("ts_us"),
+        F.round("ref_value", 6).alias("ref_value"),
+    )
+
+
 @register("ann_ivf_topk", _ANN_COSINE_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file scale path): seeded centroids picked via

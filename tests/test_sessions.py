@@ -1,0 +1,108 @@
+"""Sessionization + as-of join: hand-computed goldens, boundary semantics
+(equal-ts match, pre-first-reference null, exact gap vs gap+ε)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from relex_spark.operators.sessions import asof_join, session_bounds, sessionize
+
+
+def _ts(m, s=0, us=0):
+    return datetime(2024, 1, 1, 0, m, s, us)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        # user 1: events at 0:00, 0:10, 0:40 (gap 30min exact -> same
+        # session at exactly gap, new session beyond), 1:20
+        (1, 100, _ts(0)),
+        (1, 101, _ts(10)),
+        (1, 102, _ts(40)),          # 30:00.000000 after prev — NOT > gap
+        (1, 103, _ts(10, 0, 1)),    # out-of-order insert, sorts second
+        (2, 200, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    # user 1 ordered: 100@0:00, 101@0:10, 103@0:10.000001, 102@0:40
+    # 102 is exactly 1800s - (10m 0.000001s) after 103 => < gap, same session
+    assert got == {100: 1, 101: 1, 103: 1, 102: 1, 200: 1}
+
+    # shrink the gap to 9 minutes: 0:00 | 0:10,0:10.000001 | 0:40
+    got2 = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_seconds=540).collect()
+    }
+    assert got2 == {100: 1, 101: 2, 103: 2, 102: 3, 200: 1}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    rows = [(1, 1, _ts(0)), (1, 2, _ts(30))]  # exactly 1800.000000s apart
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {r["event_id"]: r["session_idx"] for r in sessionize(df, gap_seconds=1800).collect()}
+    assert got == {1: 1, 2: 1}  # strictly-greater-than rule
+    rows2 = [(1, 1, _ts(0)), (1, 2, _ts(30, 0, 1))]  # one microsecond over
+    df2 = spark.createDataFrame(rows2, "user_id int, event_id int, ts timestamp")
+    got2 = {r["event_id"]: r["session_idx"] for r in sessionize(df2, gap_seconds=1800).collect()}
+    assert got2 == {1: 1, 2: 2}
+
+
+def test_session_bounds(spark):
+    rows = [(1, 1, _ts(0)), (1, 2, _ts(5)), (1, 3, _ts(59))]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    b = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in session_bounds(df, gap_seconds=1800).collect()
+    }
+    base = int(_ts(0).timestamp()) * 1_000_000
+    assert b[(1, 1)] == (2, base, base + 5 * 60 * 1_000_000)
+    assert b[(1, 2)][0] == 1
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "A", _ts(10)),   # matches ref@0:05 (value 5.0)
+            (2, "A", _ts(20)),   # matches ref@0:20 (equal ts -> matches)
+            (3, "A", _ts(2)),    # before first ref -> null
+            (4, "B", _ts(30)),   # key with no refs -> null
+        ],
+        "event_id int, event_type string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(5), 5.0), ("A", _ts(20), 20.0), ("A", _ts(25), 25.0)],
+        "event_type string, ts timestamp, ref_value double",
+    )
+    got = {
+        r["event_id"]: r["ref_value"]
+        for r in asof_join(left, right, key_col="event_type").collect()
+    }
+    assert got == {1: 5.0, 2: 20.0, 3: None, 4: None}
+    # all left rows survive (left semantics)
+    assert len(got) == 4
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """Plan shape: exactly one shuffle Exchange (by key) — no range join,
+    no cross product."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 500).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    plan = (
+        asof_join(left, right, key_col="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # both sides feed one union shuffle
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
