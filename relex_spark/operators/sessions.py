@@ -28,7 +28,10 @@ def sessionize(
     gap_seconds: int = 1800,
 ) -> DataFrame:
     """Assign a per-key session index: a new session starts when the time
-    since the key's previous event exceeds ``gap_seconds``.
+    since the key's previous event is strictly greater than ``gap_seconds``
+    — the same merge rule as Spark's built-in ``session_window`` (sessions
+    merge while next_ts <= last_ts + gap), so the batch and streaming
+    formulations produce identical boundaries (pinned by a parity test).
 
     Classic two-window formulation sharing ONE partitioning (single
     shuffle): lag → boundary flag → running sum of flags = session index

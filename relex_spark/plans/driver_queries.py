@@ -939,6 +939,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_LSH_PAIRS_CTE = (
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+        SELECT doc_id,
+               list_transform(shingles, s -> {_H64.format(x="s")} % 2147483647) AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), k ->
+                 list_min(list_transform(base, h ->
+                   ((1000003 * (k + 1)) * h + (12345 + 777 * k)) % 2147483647))) AS sig
+        FROM base
+    ),
+    buckets AS (
+        SELECT doc_id AS id, b.band AS band,
+               md5(CAST(sig[b.band*2+1] AS VARCHAR) || ',' || CAST(sig[b.band*2+2] AS VARCHAR)) AS bucket
+        FROM sig, (SELECT range AS band FROM range(0, 4)) b
+    ),
+    cand AS (
+        SELECT l.id AS id_a, r.id AS id_b
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        GROUP BY l.id, r.id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.03
+    )
+"""
+)
+
+
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE pre AS ({_LSH_PAIRS_CTE} SELECT id_a, id_b FROM pairs),
+    edges AS (
+        SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pre
+        UNION
+        SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pre
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering, the dedup pipeline's final stage: LSH-verified
+    pairs → connected components → (doc, canonical cluster id). The oracle
+    is a recursive-CTE transitive closure (min reachable label) — a fully
+    independent formulation that cross-checks the engine's alternating
+    large-star/small-star implementation through the driver."""
+    from relex_spark.operators.canonicalize import connected_components
+    from relex_spark.operators.dedup import minhash_lsh_candidates, shingled_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    sh = (
+        shingled_docs(docs)
+        .select(F.col("doc_id"), F.col("sh"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    pairs = (
+        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
+        .join(b, cands["id_b"] == F.col("b.doc_id"))
+        .where(jac >= 0.03)
+        .select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Window/time + dedupe-cache analogues over events
 # ---------------------------------------------------------------------------

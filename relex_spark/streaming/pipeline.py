@@ -149,3 +149,35 @@ def conversation_entity_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session-window aggregation: Spark's built-in
+    ``session_window`` merges events into per-key sessions that close when
+    no event arrives within ``gap``; a session's aggregate is emitted once
+    the watermark passes its end. The streaming complement of the batch
+    ``operators/sessions.py`` index-based formulation — identical session
+    boundaries (strictly-greater-than-gap splits), verified by the
+    batch-parity test.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )

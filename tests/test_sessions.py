@@ -40,14 +40,54 @@ def test_sessionize_gap_boundaries(spark):
 
 
 def test_sessionize_exact_gap_is_same_session(spark):
+    """session_window merge semantics: sessions merge while
+    next_ts <= last_ts + gap, so an event at exactly last+gap stays in the
+    SAME session; one microsecond over opens a new one."""
     rows = [(1, 1, _ts(0)), (1, 2, _ts(30))]  # exactly 1800.000000s apart
     df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
     got = {r["event_id"]: r["session_idx"] for r in sessionize(df, gap_seconds=1800).collect()}
-    assert got == {1: 1, 2: 1}  # strictly-greater-than rule
+    assert got == {1: 1, 2: 1}
     rows2 = [(1, 1, _ts(0)), (1, 2, _ts(30, 0, 1))]  # one microsecond over
     df2 = spark.createDataFrame(rows2, "user_id int, event_id int, ts timestamp")
     got2 = {r["event_id"]: r["session_idx"] for r in sessionize(df2, gap_seconds=1800).collect()}
     assert got2 == {1: 1, 2: 2}
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Batch/streaming parity: the index-based sessionize produces exactly
+    the sessions Spark's built-in session_window produces (same boundary
+    rule), on data with planted near-boundary gaps."""
+    from relex_spark.operators.sessions import session_bounds
+
+    rows = []
+    for u in range(5):
+        t = 0
+        for i in range(40):
+            # gap pattern cycles through under/exact/over the 600s gap
+            t += [30, 599_999_999 // 1_000_000, 600, 601, 2000][(u + i) % 5]
+            rows.append((u, u * 1000 + i, datetime(2024, 1, 1).timestamp() + t))
+    df = spark.createDataFrame(
+        [(u, e, datetime.fromtimestamp(ts)) for u, e, ts in rows],
+        "user_id int, event_id int, ts timestamp",
+    )
+    mine = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in session_bounds(df, gap_seconds=600).collect()
+    }
+    builtin = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in df.groupBy(
+            F.session_window("ts", "600 seconds").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).cast("bigint").alias("start_us"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert mine == builtin
 
 
 def test_session_bounds(spark):

@@ -169,3 +169,58 @@ def test_stateful_entity_accumulation_across_restarts(spark):
         assert second["total_entities"] == 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_session_counts_emit_on_watermark(spark):
+    """Session windows close when the watermark passes session end + gap:
+    finalized sessions are emitted (append mode), open ones held as state."""
+    from relex_spark.streaming.pipeline import streaming_session_counts
+
+    tmp = tempfile.mkdtemp(prefix="relex_sess_")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [
+                (u, e, base + datetime.timedelta(minutes=m))
+                for u, e, m in batch
+            ],
+            "user_id int, event_id int, ts timestamp",
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id int, event_id int, ts timestamp"
+        ).parquet(f"{tmp}/in")
+        agg = streaming_session_counts(stream, gap="10 minutes", watermark="5 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        # user 1: two sessions (0-5 min and 40-42 min, gap 10m splits them);
+        # user 2's far-future event advances the watermark past both
+        rows(
+            [(1, 100, 0), (1, 101, 5), (1, 102, 40), (1, 103, 42), (2, 200, 600)]
+        ).write.mode("overwrite").parquet(f"{tmp}/in")
+        run_once()
+        # second trigger flushes sessions finalized by the advanced watermark
+        rows([(2, 201, 601)]).write.mode("append").parquet(f"{tmp}/in")
+        run_once()
+
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        assert (1, base, 2) in got
+        assert (1, base + datetime.timedelta(minutes=40), 2) in got
+        # user 2's session is still open (watermark hasn't passed 601+10m)
+        assert not any(u == 2 for u, _, _ in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
