@@ -1468,6 +1468,89 @@ def t_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_event_matrix",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-bucket event-type count matrix. Spark's pivot with an
+    explicit value list (no extra distinct-values job — the scale rule for
+    pivots); oracle is the conditional-aggregation formulation."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves null where a (bucket, type) pair never occurs
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "q_percentiles_corr",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+           ROUND(stddev_samp(value), 6) AS sd_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentiles_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous quantile) + Pearson
+    correlation + sample stddev per group — the ordered-aggregate /
+    statistics surface. Spark percentile == DuckDB quantile_cont (both
+    linear interpolation over the sorted group)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_value_user"
+        ),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
+
+
+@register(
+    "f_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS INT) AS missing_is_null
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (semi-structured props)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 25 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing")
+        .isNull()
+        .cast("int")
+        .alias("missing_is_null"),
+    )
+
+
 _MM_HEXPAYLOAD = " || ".join(
     f"md5(CAST(range AS VARCHAR) || ':{i}')" for i in range(8)
 )

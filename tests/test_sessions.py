@@ -146,3 +146,45 @@ def test_asof_join_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # both sides feed one union shuffle
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Seeded randomized check: union+window as-of join equals the per-row
+    brute force (max right.ts <= left.ts per key) on data with duplicate
+    left timestamps, equal-ts collisions, and keys missing on either side."""
+    import random
+
+    rng = random.Random(20240816)
+    keys = ["a", "b", "c", "d", "nokey_right"]
+    left_rows = [
+        (i, rng.choice(keys), _ts(rng.randrange(60), rng.randrange(60), rng.choice([0, 500000])))
+        for i in range(200)
+    ]
+    right_raw = [
+        (rng.choice(keys[:4]), _ts(rng.randrange(60), rng.randrange(60), rng.choice([0, 500000])), float(i))
+        for i in range(60)
+    ]
+    # unique per (key, ts): keep max value like the driver query does
+    right_map = {}
+    for k, ts, v in right_raw:
+        right_map[(k, ts)] = max(right_map.get((k, ts), float("-inf")), v)
+    right_rows = [(k, ts, v) for (k, ts), v in right_map.items()]
+
+    left = spark.createDataFrame(left_rows, "event_id int, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, ref double")
+    got = {
+        r["event_id"]: r["ref"]
+        for r in asof_join(left, right, key_col="k").collect()
+    }
+    assert len(got) == len(left_rows)
+    for eid, k, ts in left_rows:
+        cands = [v for (rk, rts), v in right_map.items() if rk == k and rts <= ts]
+        expected = (
+            max(
+                ((rts, v) for (rk, rts), v in right_map.items() if rk == k and rts <= ts),
+                key=lambda t: t[0],
+            )[1]
+            if cands
+            else None
+        )
+        assert got[eid] == expected, (eid, k, ts)
