@@ -98,8 +98,12 @@ def main() -> int:
 
     config = KGPipelineConfig()
     build_triples(tdf, config).write.format("noop").mode("overwrite").save()  # warm
+    # n=4: this is the headline metric and the host shows multi-tenant load
+    # spikes (load-avg >12 observed with no benchmark running); isolated
+    # same-JVM runs of this exact job ranged 3.3-12.2 s back-to-back, so two
+    # samples can both land on an interference spike
     scored_sec = best_of(
-        lambda: run_noop(build_triples(tdf, config)), n=2
+        lambda: run_noop(build_triples(tdf, config)), n=4
     )
     timings["kg_scored_triples"] = scored_sec
     scored = build_triples(tdf, config).cache()

@@ -110,3 +110,81 @@ def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + c) % mod,
     )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundaries.
+PII_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_signals(text: Column) -> dict[str, Column]:
+    """PII detection + redaction for training-data pipelines: email and
+    phone match counts plus the redacted text. Pure SQL (regexp_extract_all
+    / regexp_replace — whole-stage codegen, no Python)."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_PATTERN), 0))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_PATTERN), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": n_emails.cast("int"),
+        "n_phones": n_phones.cast("int"),
+        "redacted": redacted,
+    }
+
+
+def repetition_signals(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    top-bigram count/fraction, duplicate-bigram fraction (Rae et al. 2021
+    'massive web' quality filters, §A1.1 repetition rules).
+
+    Scale shape: one explode of word bigrams → two-level hash aggregate on
+    (doc, bigram) then (doc). Both aggregations get map-side partial
+    combine; no join (per-doc constants ride through the grouping keys), no
+    array O(n²) — a 100 TB corpus shuffles only its distinct
+    (doc, bigram) pairs after partial aggregation. Docs with < 2 tokens
+    carry no bigram signal and are excluded by contract.
+    """
+    toks = split_ws(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    big = base.select(
+        id_col,
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("distinct_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = big.groupBy(id_col, "n_tokens", "distinct_tokens", "bigram").count()
+    agg = counts.groupBy(id_col, "n_tokens", "distinct_tokens").agg(
+        F.max("count").alias("top_bigram_count"),
+        F.sum("count").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+    )
+    nb = F.col("n_bigrams").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        micro_units(
+            F.col("distinct_tokens").cast("double") / F.col("n_tokens")
+        ).alias("distinct_token_ratio_u6"),
+        F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+        micro_units(F.col("top_bigram_count").cast("double") / nb).alias(
+            "top_bigram_frac_u6"
+        ),
+        micro_units(
+            (F.col("n_bigrams") - F.col("distinct_bigrams")).cast("double") / nb
+        ).alias("dup_bigram_frac_u6"),
+    )

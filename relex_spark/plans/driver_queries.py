@@ -2044,3 +2044,129 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=8)
+
+
+@register(
+    "text_repetition",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, distinct_tokens, bigram, COUNT(*) AS cnt
+        FROM b GROUP BY ALL
+    ),
+    a AS (
+        SELECT doc_id, n_tokens, distinct_tokens,
+               MAX(cnt) AS top_bigram_count,
+               SUM(cnt) AS n_bigrams,
+               COUNT(*) AS distinct_bigrams
+        FROM c GROUP BY doc_id, n_tokens, distinct_tokens
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(distinct_tokens AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT)
+             AS distinct_token_ratio_u6,
+           CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+           CAST(floor(CAST(top_bigram_count AS DOUBLE) / n_bigrams * 1000000 + 0.5) AS BIGINT)
+             AS top_bigram_frac_u6,
+           CAST(floor(CAST(n_bigrams - distinct_bigrams AS DOUBLE) / n_bigrams * 1000000 + 0.5) AS BIGINT)
+             AS dup_bigram_frac_u6
+    FROM a
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-token ratio,
+    top-/duplicate-bigram fractions) via two-level hash aggregate."""
+    from relex_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injection shared by the Spark query and the oracle:
+# every 7th doc gets a synthetic email + phone appended, so the regexes are
+# exercised on both hit and miss rows (the synthetic corpus itself carries
+# no PII).
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id"
+    " || '@mail.example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " ELSE text END"
+)
+
+
+@register(
+    "text_pii_redact",
+    rf"""
+    WITH aug AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) — codegen regex
+    ops, no Python; counts + md5 of the redacted text."""
+    from relex_spark.operators.textstats import pii_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_INJECT_SQL).alias("text"))
+    sig = pii_signals(F.col("text"))
+    return aug.select(
+        "doc_id",
+        sig["n_emails"].alias("n_emails"),
+        sig["n_phones"].alias("n_phones"),
+        F.md5(sig["redacted"]).alias("redacted_md5"),
+    )
+
+
+@register(
+    "x_range_join",
+    r"""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases within one hour after a click by
+    the same user. Equi-join on user_id carries the shuffle; the time-range
+    predicate applies post-join — scale-safe (no theta-join explosion)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )

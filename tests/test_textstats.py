@@ -1,0 +1,60 @@
+"""Unit goldens for the round-2 text-analysis additions: Gopher-style
+repetition signals and PII detection/redaction (the full-corpus paths are
+oracle-checked by the driver via text_repetition / text_pii_redact)."""
+
+from pyspark.sql import functions as F
+
+from relex_spark.operators.textstats import pii_signals, repetition_signals
+
+
+def test_repetition_signals_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 5 toks, 2 distinct; bigrams a-b x2, b-a x2
+            (2, "x y z"),       # 3 toks, all distinct; bigrams x-y, y-z
+            (3, "solo"),        # <2 tokens: excluded by contract
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["distinct_token_ratio_u6"] == 400_000      # 2/5
+    assert r1["top_bigram_count"] == 2
+    assert r1["top_bigram_frac_u6"] == 500_000           # 2/4
+    assert r1["dup_bigram_frac_u6"] == 500_000           # (4-2)/4
+
+    r2 = rows[2]
+    assert r2["n_tokens"] == 3
+    assert r2["distinct_token_ratio_u6"] == 1_000_000
+    assert r2["top_bigram_count"] == 1
+    assert r2["top_bigram_frac_u6"] == 500_000           # 1/2
+    assert r2["dup_bigram_frac_u6"] == 0
+
+
+def test_pii_signals_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@example.com or 555-123-4567 today"),
+            (2, "no pii here 12-34 a@b"),  # near-misses must not match
+        ],
+        ["doc_id", "text"],
+    )
+    sig = pii_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            sig["n_emails"].alias("n_emails"),
+            sig["n_phones"].alias("n_phones"),
+            sig["redacted"].alias("redacted"),
+        ).collect()
+    }
+    assert rows[1]["n_emails"] == 1
+    assert rows[1]["n_phones"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> or <PHONE> today"
+    assert rows[2]["n_emails"] == 0
+    assert rows[2]["n_phones"] == 0
+    assert rows[2]["redacted"] == "no pii here 12-34 a@b"
