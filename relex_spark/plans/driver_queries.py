@@ -2170,3 +2170,123 @@ def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("c_ts").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+# Deterministic per-stratum keep thresholds (floor(rate * 1e6)), shared by
+# the Spark query and the oracle.
+_SAMPLE_RATES = {"en": 0.4, "de": 1.0, "fr": 0.75}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _stratified_oracle() -> str:
+    h = _H64.format(x="CAST(doc_id AS STRING)")
+    case = "CASE "
+    for lang, rate in sorted(_SAMPLE_RATES.items()):
+        case += f"WHEN lang = '{lang}' THEN {int(rate * 1_000_000)} "
+    case += f"ELSE {int(_SAMPLE_DEFAULT * 1_000_000)} END"
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {h} % 1000000 < {case}
+    """
+
+
+@register("x_stratified_sample", _stratified_oracle())
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language — membership is a
+    pure function of doc_id (portable hash), so the sample is identical
+    across reruns, partitionings, and cluster sizes. Map-only, no shuffle."""
+    from relex_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _SAMPLE_RATES, stratum_col="lang", default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+_HSHINGLES_CTE = (
+    _SHINGLES_CTE
+    + f"""
+    , hsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles, s -> {_H64.format(x="s")})) AS hs
+        FROM sh
+    )
+"""
+)
+
+
+@register(
+    "x_decontaminate",
+    _HSHINGLES_CTE
+    + """
+    , dd AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+        FROM hsh
+    ),
+    b AS (
+        SELECT DISTINCT unnest(hs) AS h FROM hsh WHERE doc_id % 31 = 0
+    ),
+    agg AS (
+        SELECT dd.doc_id, dd.n_shingles,
+               CAST(COALESCE(SUM(CASE WHEN b.h IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits
+        FROM dd LEFT JOIN b ON dd.h = b.h
+        GROUP BY dd.doc_id, dd.n_shingles
+    )
+    SELECT doc_id, n_shingles, n_hits,
+           CAST(floor(CAST(n_hits AS DOUBLE) / n_shingles * 1000000 + 0.5) AS BIGINT) AS overlap_frac_u6,
+           CAST(n_hits AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+    FROM agg
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc fraction of 3-gram shingles that
+    appear in the 'benchmark' slice (doc_id % 31 == 0) — hashed-shingle
+    equi-join, shuffle proportional to shingle sets, never doc x benchmark."""
+    from relex_spark.operators.curation import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 31 == 0)
+    return benchmark_overlap(docs, benchmark, shingle_n=3, threshold=0.5)
+
+
+@register(
+    "x_lm_score",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM base
+    ),
+    doc_big AS (SELECT doc_id, bigram, COUNT(*) AS m FROM big GROUP BY ALL),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, SUM(c2) AS c1
+        FROM c2 GROUP BY 1
+    ),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM base)
+    ),
+    s AS (
+        SELECT d.doc_id, d.m,
+               ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS logp
+        FROM doc_big d
+        JOIN c2 USING (bigram)
+        JOIN c1 ON split_part(d.bigram, ' ', 1) = c1.w1, v
+    )
+    SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           CAST(floor(SUM(m * logp) / SUM(m) * 1000000 + 0.5) AS BIGINT) AS mean_logp_u6
+    FROM s GROUP BY doc_id
+    """,
+)
+def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: corpus-trained add-one bigram LM, mean
+    per-doc bigram log-prob. Per-doc multiplicities aggregate before the
+    probability join (distinct (doc, bigram) pairs only)."""
+    from relex_spark.operators.curation import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,70 @@
+"""Unit goldens for the corpus-curation operators (full-corpus paths are
+oracle-checked by the driver via x_stratified_sample / x_decontaminate /
+x_lm_score)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from relex_spark.operators.curation import (
+    benchmark_overlap,
+    bigram_lm_scores,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+    # rate 1.0 keeps every row of the stratum; 0.0 keeps none
+    all_de = stratified_sample(docs, {"de": 1.0}, default_rate=0.0)
+    assert all_de.count() == 100
+    assert all_de.where(F.col("lang") == "en").count() == 0
+
+    # membership is a pure function of doc_id: partitioning-independent
+    half = stratified_sample(docs, {"en": 0.5, "de": 0.5})
+    a = sorted(r["doc_id"] for r in half.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), {"en": 0.5, "de": 0.5}
+        ).collect()
+    )
+    assert a == b
+    # rate is approximately honored (hash-uniformity, not exactness)
+    assert 60 <= len(a) <= 140
+
+
+def test_benchmark_overlap_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles: 'a b c', 'b c d'
+            (2, "x y z w"),      # no overlap with benchmark
+            (3, "a b c q"),      # 'a b c' hits, 'b c q' misses
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in benchmark_overlap(docs, benchmark).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_hits"] == 2
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["n_hits"] == 0 and rows[2]["contaminated"] is False
+    assert rows[3]["n_shingles"] == 2 and rows[3]["n_hits"] == 1
+    assert rows[3]["overlap_frac_u6"] == 500_000
+    assert rows[3]["contaminated"] is True  # 0.5 >= threshold
+
+
+def test_bigram_lm_scores_golden(spark):
+    # corpus: bigrams 'a b' x2, 'a c' x1; c1(a)=3; V={a,b,c}=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # P(b|a) = (2+1)/(3+3) = 0.5 ; P(c|a) = (1+1)/(3+3) = 1/3
+    u6 = lambda x: math.floor(x * 1_000_000 + 0.5)
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["mean_logp_u6"] == u6(math.log(0.5))
+    assert rows[2]["mean_logp_u6"] == u6(math.log(0.5))
+    assert rows[3]["mean_logp_u6"] == u6(math.log(1 / 3))
