@@ -181,3 +181,31 @@ def streaming_session_counts(
             "last_ts",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct document text once
+    (first arrival wins), dropping later duplicates that arrive within the
+    watermark horizon. Uses ``dropDuplicatesWithinWatermark`` so the dedup
+    state is BOUNDED: a text hash is held only until the watermark passes
+    its event time, instead of growing forever like plain
+    ``dropDuplicates`` on an unbounded stream — the property that makes
+    exact dedup viable on a 10^12-row ingest.
+
+    Dedup key is the md5 of the text (not the full text) so state stores
+    32 bytes per live key.
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+    )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )

@@ -224,3 +224,51 @@ def test_streaming_session_counts_emit_on_watermark(spark):
         assert not any(u == 2 for u, _, _ in got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_bounded_state(spark):
+    from relex_spark.streaming.pipeline import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="relex_sdedup_")
+    in_dir, out_dir, ck_dir = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    try:
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        texts = [f"text number {i}" for i in range(5)]
+        # batch A: each text twice (within-batch dups)
+        rows_a = [
+            (i, base + datetime.timedelta(minutes=i), texts[i % 5])
+            for i in range(10)
+        ]
+        # batch B: the same texts again from new ids (cross-batch dups,
+        # inside the 1h watermark horizon)
+        rows_b = [
+            (100 + i, base + datetime.timedelta(minutes=20 + i), texts[i])
+            for i in range(5)
+        ]
+        schema = "doc_id long, ts timestamp, text string"
+        spark.createDataFrame(rows_a, schema).write.parquet(f"{in_dir}/a")
+        spark.createDataFrame(rows_b, schema).write.parquet(f"{in_dir}/b")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*")
+        )
+        q = (
+            streaming_exact_dedup(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        out = spark.read.parquet(out_dir).collect()
+        # one row per distinct text, regardless of batch boundaries
+        assert len(out) == 5
+        assert len({r["text_hash"] for r in out}) == 5
+        # the streaming plan carries dedup state (not a stateless pass-through)
+        assert q.lastProgress["stateOperators"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
