@@ -141,6 +141,37 @@ def main() -> int:
     timings["kg_canonicalize_salted"] = best_of(_canon_salted_job, n=2)
     scored.unpersist()
 
+    # transparency for the dedup-before-inference default: how many
+    # DISTINCT (tokens, spans) inputs the CNN actually scored vs the
+    # candidate total (the synthetic corpus repeats sentences heavily;
+    # config.score_distinct=False re-scores every occurrence)
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.plans.kg_pipeline import preprocess_candidates
+
+    pairs = preprocess_candidates(
+        generate_candidate_pairs(
+            detect_mentions(tdf, config.gazetteer_rows, keep_text=False),
+            config.max_pairs_per_turn,
+        ),
+        config.max_len,
+    )
+    import pyspark.sql.functions as _F
+
+    _key = _F.md5(
+        _F.concat_ws(
+            "\x01",
+            _F.concat_ws(" ", "tokens"),
+            *[
+                _F.col(c).cast("string")
+                for c in ["head_start", "head_end", "tail_start", "tail_end"]
+            ],
+        )
+    )
+    distinct_scored = pairs.select(_key.alias("k")).distinct().count()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_sec",
@@ -152,6 +183,7 @@ def main() -> int:
             "n_convs": n_convs,
             "n_turns": n_turns,
             "scored_triples": n_triples,
+            "distinct_scored_inputs": distinct_scored,
             "canonical_triples": n_canon,
             "triples_per_sec": round(n_triples / scored_sec, 1),
             "turns_per_sec": round(n_turns / scored_sec, 1),

@@ -9,9 +9,15 @@
                     + per-partition lineage/counters, stage checkpoints
 
 Shuffle census for the whole plan (the 100 TB argument):
-  * detect+pairs+preprocess+score: ZERO shuffles — narrow chain from the
-    scan, Arrow-batched scoring included. Input partitioning (by conv_id
-    ranges from the table layout) flows through untouched.
+  * detect+pairs+preprocess: ZERO shuffles — narrow chain from the scan.
+    Input partitioning (by conv_id ranges from the table layout) flows
+    through untouched.
+  * score (score_distinct=True, the default): one map-side-combined
+    dedup shuffle of the slim candidate features + a key join back —
+    bought so the Arrow-batched CNN runs once per DISTINCT (tokens,
+    spans) input (dedup-before-inference; transcript corpora repeat
+    boilerplate heavily). With score_distinct=False (and always on the
+    streaming path) scoring is in-place and the chain stays zero-shuffle.
   * canonicalize: the component map is tiny (gazetteer-derived) and
     broadcast; triple dedup groupBy(subj,pred,obj) is the plan's ONE wide
     stage, AQE-coalesced and optionally salted for hot triples.
@@ -58,6 +64,15 @@ class KGPipelineConfig:
     encoder: str = "cnn"
     checkpoint_dir: str | None = None   # enables stage checkpoints + resume
     salt_buckets: int = 0
+    # Score each distinct (tokens, spans) input once and join the result
+    # back (dedup-before-inference). Real transcript corpora repeat
+    # boilerplate/greetings/tool output heavily — the synthetic bench corpus
+    # measures a >10^4 duplication factor — and the model is a pure
+    # function of (tokens, spans), so scoring duplicates is pure waste.
+    # Costs one shuffle (map-side-combined dedup) + one join; wins whenever
+    # the duplication factor exceeds ~1.2. Batch-only: on a stream the
+    # dedup/join would need unbounded state, so it is skipped there.
+    score_distinct: bool = True
     gazetteer_rows: list[tuple[str, str, str]] = field(
         default_factory=fixture_gazetteer_rows
     )
@@ -96,20 +111,45 @@ def build_triples(
 ) -> DataFrame:
     """transcripts → scored candidate triples (pre-canonicalization).
 
-    Narrow end to end: no shuffle between the scan and the scored output.
+    Narrow from scan through preprocess; see the module docstring's
+    shuffle census for the score_distinct dedup-before-inference stage.
     """
     config = config or KGPipelineConfig()
     mentions = detect_mentions(transcripts, config.gazetteer_rows, keep_text=False)
     pairs = generate_candidate_pairs(mentions, config.max_pairs_per_turn)
     pairs = preprocess_candidates(pairs, config.max_len)
     weights_bc = broadcast_weights(transcripts, config.resolved_weights())
-    scored = score_candidates(
-        pairs,
-        weights_bc,
-        keep_columns=["conv_id", "turn_idx", "id", "subj", "obj"],
-        encoder=config.encoder,
+    keep = ["conv_id", "turn_idx", "id", "subj", "obj"]
+    if config.score_distinct and not transcripts.isStreaming:
+        # Dedup-before-inference: the scores are a pure function of
+        # (tokens, spans), so run the expensive mapInPandas stage once per
+        # distinct input. dropDuplicates compiles to a first()-aggregate
+        # with map-side partial combine, so hot duplicate keys collapse
+        # before the shuffle; the join back is on the same key, and AQE
+        # broadcasts the scored-distinct side when it is small.
+        feat = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
+        key_parts = [
+            F.concat_ws(" ", "tokens"),
+            *[F.col(c).cast("string") for c in feat[1:]],
+        ]
+        if config.encoder in ("gcn", "gat"):
+            feat.append("adjacency")
+            key_parts.append(F.md5(F.to_json("adjacency")))
+        key = F.md5(F.concat_ws("\x01", *key_parts))
+        pairs_k = pairs.withColumn("score_key", key)
+        uniq = pairs_k.select("score_key", *feat).dropDuplicates(["score_key"])
+        scored_uniq = score_candidates(
+            uniq,
+            weights_bc,
+            keep_columns=["score_key"],
+            encoder=config.encoder,
+        )
+        return pairs_k.select("score_key", *keep).join(
+            scored_uniq, "score_key"
+        ).drop("score_key")
+    return score_candidates(
+        pairs, weights_bc, keep_columns=keep, encoder=config.encoder
     )
-    return scored
 
 
 def run_kg_pipeline(

@@ -144,3 +144,25 @@ def test_connected_components_long_chain_and_cycle(spark):
     assert all(comp[c] == "c1" for c in ["c1", "c2", "c3", "c4"])
     merged = {comp["hub1"], comp["hub2"]} | {comp[f"s{i}"] for i in range(8)}
     assert merged == {"hub1"}
+
+
+def test_score_distinct_parity(spark):
+    """Dedup-before-inference must be invisible in the output: identical
+    rows (ids, labels, scores) with score_distinct on and off."""
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=25).cache()
+    import dataclasses
+
+    on = build_triples(t, KGPipelineConfig(score_distinct=True))
+    off = build_triples(t, KGPipelineConfig(score_distinct=False))
+    cols = sorted(set(on.columns))
+    key = lambda r: tuple(
+        round(v, 5) if isinstance(v, float) else v
+        for c in cols
+        for v in [r[c]]
+    )
+    a = sorted(key(r) for r in on.select(*cols).collect())
+    b = sorted(key(r) for r in off.select(*cols).collect())
+    assert a == b and a
