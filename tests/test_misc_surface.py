@@ -231,3 +231,28 @@ def test_token_vocab_rank_spans_partitions(spark):
     assert len(got) == len(expected)
     for rank, (cnt, tok) in enumerate(expected):
         assert got[tok] == (cnt, rank + 2), tok
+
+
+def test_no_per_row_python_udfs_in_source():
+    """SURVEY §7 watch-list contract (input_hint: vectorized UDFs only):
+    no row-at-a-time Python UDF registration anywhere in the engine —
+    Python is allowed only at Arrow boundaries (mapInPandas /
+    applyInPandasWithState / pandas_udf)."""
+    import os
+
+    import relex_spark
+
+    root = os.path.dirname(relex_spark.__file__)
+    banned = ("F.udf(", "functions.udf(", "@udf", "sqlContext.registerFunction")
+    hits = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                src = f.read()
+            for pat in banned:
+                if pat in src:
+                    hits.append((path, pat))
+    assert not hits, hits

@@ -42,8 +42,12 @@ def transcripts(spark, tmp_path_factory):
 
 def test_scan_prunes_to_three_columns(spark, transcripts):
     """The scoring chain reads (conv_id, turn_idx, text) only — role/tool/ts
-    are pruned at the parquet reader (SCALE.md §1)."""
-    plan = plan_of(build_triples(transcripts, KGPipelineConfig()))
+    are pruned at the parquet reader (SCALE.md §1). Explained on the
+    score_distinct=False variant: the default path shares the identical
+    scan→pairs subtree but hides it behind the pairs_k localCheckpoint."""
+    plan = plan_of(
+        build_triples(transcripts, KGPipelineConfig(score_distinct=False))
+    )
     assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
 
 
