@@ -323,3 +323,43 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Representative selection, the step after near-dup clustering: for
+    each cluster keep the highest-quality member (ties → smallest id).
+    Documents absent from ``clusters`` (never paired by LSH) are singleton
+    clusters of themselves.
+
+    Scale shape: one left join on the id (clusters side is ≤ |docs| and
+    pre-aggregated) + one rank window partitioned BY CLUSTER — keys are
+    cluster ids, so parallelism is |clusters|, not a global sort. Returns
+    (id, cluster, is_kept).
+    """
+    from pyspark.sql import Window
+
+    c = clusters.select(
+        F.col("node").alias("__node"), F.col("component").alias("cluster")
+    )
+    joined = docs.join(
+        c, docs[id_col].cast("string") == F.col("__node"), "left"
+    ).select(
+        id_col,
+        quality_col,
+        F.coalesce(F.col("cluster"), docs[id_col].cast("string")).alias(
+            "cluster"
+        ),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        id_col,
+        "cluster",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

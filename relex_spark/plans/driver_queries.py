@@ -2290,3 +2290,116 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relex_spark.operators.curation import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank CTEs (d=0.85, init 1.0) over the
+    supplier→part edge set — independent formulation of the engine's
+    Pregel-shaped DataFrame loop."""
+    sql = """
+    WITH e0 AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS STRING) AS src,
+                        'P' || CAST(l_partkey AS STRING) AS dst
+        FROM lineitem
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT n.node, 0.15 + 0.85 * COALESCE(s.inb, 0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank / e.deg) AS inb
+            FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst
+        ) s ON n.node = s.node
+    )"""
+    sql += f"""
+    SELECT node,
+           CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_u6
+    FROM r{iterations}
+    """
+    return sql
+
+
+@register("x_pagerank", _pagerank_oracle(3))
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the supplier→part edge graph — the
+    Pregel-shaped DataFrame loop (join + aggregate per iteration, lineage
+    truncated per round like connected_components)."""
+    from relex_spark.operators.graph_metrics import pagerank_u6
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return pagerank_u6(edges, iterations=3)
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pre AS ({_LSH_PAIRS_CTE} SELECT id_a, id_b FROM pairs),
+    edges AS (
+        SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pre
+        UNION
+        SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pre
+    ),
+    cnodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    j AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, CAST(d.doc_id AS STRING)) AS cluster
+        FROM documents d
+        LEFT JOIN comp c ON CAST(d.doc_id AS STRING) = c.node
+    )
+    SELECT doc_id, cluster,
+           (row_number() OVER (
+               PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+           ) = 1) AS is_kept
+    FROM j
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after near-dup clustering: keep the
+    highest-quality member per cluster (here quality = n_chars, ties →
+    smallest id); unpaired docs are singleton clusters. Rank window is
+    partitioned by cluster — no global sort."""
+    from relex_spark.operators.canonicalize import connected_components
+    from relex_spark.operators.dedup import (
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+        shingled_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    sh = (
+        shingled_docs(docs)
+        .select(F.col("doc_id"), F.col("sh"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    pairs = (
+        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
+        .join(b, cands["id_b"] == F.col("b.doc_id"))
+        .where(jac >= 0.03)
+        .select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    clusters = connected_components(pairs)
+    return keep_best_per_cluster(
+        docs.select("doc_id", "n_chars"), clusters, quality_col="n_chars"
+    )

@@ -1,0 +1,44 @@
+"""Unit goldens for graph analytics + dedup representative selection
+(full-corpus paths oracle-checked via x_pagerank / dedup_keep_best)."""
+
+from relex_spark.operators.dedup import keep_best_per_cluster
+from relex_spark.operators.graph_metrics import degree_stats, pagerank
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+
+
+def test_degree_stats_golden(spark):
+    rows = {r["node"]: r for r in degree_stats(_edges(spark)).collect()}
+    assert (rows["a"]["out_degree"], rows["a"]["in_degree"]) == (2, 0)
+    assert (rows["b"]["out_degree"], rows["b"]["in_degree"]) == (1, 1)
+    assert (rows["c"]["out_degree"], rows["c"]["in_degree"]) == (0, 2)
+
+
+def test_pagerank_two_iterations_golden(spark):
+    # iter1: a=0.15, b=0.15+0.85*(1/2)=0.575, c=0.15+0.85*(1/2+1)=1.425
+    # iter2: a=0.15, b=0.15+0.85*(0.15/2)=0.21375,
+    #        c=0.15+0.85*(0.15/2+0.575)=0.7025
+    rows = {r["node"]: r["rank"] for r in pagerank(_edges(spark), 2).collect()}
+    assert abs(rows["a"] - 0.15) < 1e-12
+    assert abs(rows["b"] - 0.21375) < 1e-12
+    assert abs(rows["c"] - 0.7025) < 1e-12
+
+
+def test_keep_best_per_cluster_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)], ["doc_id", "quality"]
+    )
+    clusters = spark.createDataFrame(
+        [("1", "1"), ("2", "1"), ("3", "1")], ["node", "component"]
+    )
+    rows = {r["doc_id"]: r for r in keep_best_per_cluster(docs, clusters).collect()}
+    assert rows[2]["is_kept"] is True          # max quality, tie -> min id
+    assert rows[3]["is_kept"] is False
+    assert rows[1]["is_kept"] is False
+    assert rows[4]["is_kept"] is True          # unpaired -> own cluster
+    assert rows[4]["cluster"] == "4"
+    assert rows[1]["cluster"] == rows[2]["cluster"] == "1"
