@@ -2403,3 +2403,58 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(
         docs.select("doc_id", "n_chars"), clusters, quality_col="n_chars"
     )
+
+
+@register(
+    "x_incremental_merge",
+    """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def x_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization (merge-equivalence contract): the corpus
+    is split into two ingest slices at the median timestamp, each slice is
+    rolled up independently, and the slices are merged with MERGE-INTO
+    algebra — the oracle is the SINGLE-PASS rollup over everything, so the
+    hash match proves incremental == batch."""
+    from relex_spark.operators.incremental import merge_rollups
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sum_value", F.col("value")
+    )
+    split = "2024-01-16 00:00:00"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    a = rollup(ev.where(F.col("ts") < F.lit(split)))
+    b = rollup(ev.where(F.col("ts") >= F.lit(split)))
+    merged = merge_rollups(
+        a,
+        b,
+        keys=("user_id", "event_type"),
+        sum_cols=("n_events", "sum_value"),
+        min_cols=("first_ts",),
+        max_cols=("last_ts",),
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.floor(F.col("sum_value") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sum_value_u6"),
+        "first_ts",
+        "last_ts",
+    )

@@ -256,3 +256,40 @@ def test_no_per_row_python_udfs_in_source():
                 if pat in src:
                     hits.append((path, pat))
     assert not hits, hits
+
+
+def test_merge_rollups_equals_single_pass(spark):
+    """Merge-equivalence: merging per-slice rollups == single-pass rollup
+    (the incremental-materialize contract; driver-checked at corpus scale
+    by x_incremental_merge)."""
+    from pyspark.sql import functions as F
+
+    from relex_spark.operators.incremental import merge_rollups
+
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 3, 7.0), ("u1", 4, 2.0)],
+        ["k", "seq", "v"],
+    )
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("v"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+        )
+
+    merged = merge_rollups(
+        rollup(df.where(F.col("seq") <= 2)),
+        rollup(df.where(F.col("seq") > 2)),
+        keys=("k",),
+        sum_cols=("n", "v"),
+        min_cols=("lo",),
+        max_cols=("hi",),
+    )
+    got = {r["k"]: r for r in merged.collect()}
+    want = {r["k"]: r for r in rollup(df).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n", "v", "lo", "hi"):
+            assert got[k][c] == want[k][c], (k, c)
