@@ -1149,7 +1149,10 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only entries that remain rows-only: kg_canonical_triples and
 # kg_scored_candidates — they read documents at the driver-supplied sf_dir,
 # so their outputs are scale-dependent and a literal golden would be wrong
-# at any other sf; correctness is pinned by tests/ goldens instead.
+# at any other sf; correctness is pinned by tests/ goldens instead, and
+# everything upstream of the CNN kernel (transcript derivation, mention
+# detection, pair generation, preprocess, the per-turn tokens md5) is
+# fully oracle-checked at corpus scale by kg_candidate_pairs below.
 # ---------------------------------------------------------------------------
 
 
@@ -2457,4 +2460,128 @@ def x_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value_u6"),
         "first_ts",
         "last_ts",
+    )
+
+
+def _kg_pairs_oracle() -> str:
+    """Full DuckDB formulation of the KG pipeline's first two stages —
+    transcripts-from-documents derivation, gazetteer n-gram mention
+    detection (longest-match-wins), ordered-pair generation with the
+    per-turn cap, truncate/clamp preprocessing — so everything up to the
+    CNN kernel is driver-oracle-checked at corpus scale (the kernel itself
+    is pinned by the numpy-oracle parity tests and the P/R gate)."""
+    from relex_spark.sources.transcripts import (
+        PLANT_EVERY,
+        fixture_gazetteer_rows,
+        load_semeval_fixture,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sents = [" ".join(ex["tokens"]) for ex in load_semeval_fixture()]
+    sent_vals = ", ".join(f"({i + 1}, {q(s)})" for i, s in enumerate(sents))
+    gaz_vals = ", ".join(
+        f"({q(s)}, {q(eid)}, {q(ty)})" for s, eid, ty in fixture_gazetteer_rows()
+    )
+    h = _H64.format(x="CAST(doc_id AS STRING)")
+    return rf"""
+    WITH gaz(surface, entity_id, entity_type) AS (VALUES {gaz_vals}),
+    sent(i, s) AS (VALUES {sent_vals}),
+    tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx,
+               CASE WHEN h % {PLANT_EVERY} = 0
+                    THEN (SELECT s FROM sent WHERE i = h % {len(sents)} + 1)
+                    ELSE text END AS text
+        FROM (SELECT doc_id, text, {h} AS h FROM documents)
+    ),
+    tok AS (
+        SELECT conv_id, turn_idx, {_TOKS} AS toks FROM tr
+    ),
+    grams AS (
+        SELECT conv_id, turn_idx, toks,
+               unnest(
+                 list_transform(range(0, greatest(len(toks), 0)),
+                   i -> struct_pack(s := i, e := i,
+                                    surface := toks[i + 1]))
+                 || list_transform(range(0, greatest(len(toks) - 1, 0)),
+                   i -> struct_pack(s := i, e := i + 1,
+                                    surface := toks[i + 1] || ' ' || toks[i + 2]))
+               ) AS g
+        FROM tok
+    ),
+    m0 AS (
+        SELECT conv_id, turn_idx, toks, g.s AS s, g.e AS e,
+               g.surface AS surface, gz.entity_id, gz.entity_type
+        FROM grams JOIN gaz gz ON g.surface = gz.surface
+    ),
+    m1 AS (
+        SELECT * FROM m0 m WHERE NOT EXISTS (
+            SELECT 1 FROM m0 o
+            WHERE o.conv_id = m.conv_id AND o.turn_idx = m.turn_idx
+              AND (o.e - o.s) > (m.e - m.s)
+              AND o.s <= m.s AND o.e >= m.e)
+    ),
+    m2 AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY s, e, surface, entity_id, entity_type) AS rn
+        FROM m1
+    ),
+    p AS (
+        SELECT a.conv_id, a.turn_idx, a.toks,
+               a.s AS hs, a.e AS he, b.s AS ts, b.e AS te,
+               a.entity_id AS subj, b.entity_id AS obj,
+               a.entity_type AS head_type, b.entity_type AS tail_type,
+               row_number() OVER (
+                   PARTITION BY a.conv_id, a.turn_idx
+                   ORDER BY a.rn, b.rn) AS pair_no
+        FROM m2 a JOIN m2 b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+         AND b.rn > a.rn AND b.s > a.e
+    )
+    SELECT conv_id, turn_idx,
+           conv_id || ':' || CAST(turn_idx AS STRING) || ':'
+                   || CAST(pair_no AS STRING) AS id,
+           md5(array_to_string(toks[1:100], ' ')) AS tokens_md5,
+           LEAST(hs, 99) AS head_start, LEAST(he, 99) AS head_end,
+           LEAST(ts, 99) AS tail_start, LEAST(te, 99) AS tail_end,
+           subj, obj, head_type, tail_type
+    FROM p WHERE pair_no <= 10
+    """
+
+
+@register("kg_candidate_pairs", _kg_pairs_oracle())
+def kg_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection + candidate-pair generation + preprocess — the KG
+    pipeline up to (but excluding) the CNN kernel, oracle-checked at corpus
+    scale including the per-turn tokens md5 (the text-equality invariant)."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.plans.kg_pipeline import preprocess_candidates
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    p = preprocess_candidates(generate_candidate_pairs(m, 10), 100)
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        "id",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+        F.col("head_start").cast("int").alias("head_start"),
+        F.col("head_end").cast("int").alias("head_end"),
+        F.col("tail_start").cast("int").alias("tail_start"),
+        F.col("tail_end").cast("int").alias("tail_end"),
+        "subj",
+        "obj",
+        "head_type",
+        "tail_type",
     )
