@@ -2463,13 +2463,12 @@ def x_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_pairs_oracle() -> str:
-    """Full DuckDB formulation of the KG pipeline's first two stages —
+def _kg_pairs_cte() -> str:
+    """Shared DuckDB CTE chain for the KG pipeline's pre-scoring stages —
     transcripts-from-documents derivation, gazetteer n-gram mention
     detection (longest-match-wins), ordered-pair generation with the
-    per-turn cap, truncate/clamp preprocessing — so everything up to the
-    CNN kernel is driver-oracle-checked at corpus scale (the kernel itself
-    is pinned by the numpy-oracle parity tests and the P/R gate)."""
+    per-turn cap — consumed by the kg_candidate_pairs and
+    kg_canonical_pairs oracles."""
     from relex_spark.sources.transcripts import (
         PLANT_EVERY,
         fixture_gazetteer_rows,
@@ -2540,7 +2539,15 @@ def _kg_pairs_oracle() -> str:
         FROM m2 a JOIN m2 b
           ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
          AND b.rn > a.rn AND b.s > a.e
-    )
+    )"""
+
+
+def _kg_pairs_oracle() -> str:
+    """kg_candidate_pairs oracle: the shared CTE chain + truncate/clamp
+    preprocessing, so everything up to the CNN kernel is
+    driver-oracle-checked at corpus scale (the kernel itself is pinned by
+    the numpy-oracle parity tests and the P/R gate)."""
+    return _kg_pairs_cte() + """
     SELECT conv_id, turn_idx,
            conv_id || ':' || CAST(turn_idx AS STRING) || ':'
                    || CAST(pair_no AS STRING) AS id,
@@ -2550,6 +2557,66 @@ def _kg_pairs_oracle() -> str:
            subj, obj, head_type, tail_type
     FROM p WHERE pair_no <= 10
     """
+
+
+def _kg_canonical_oracle() -> str:
+    """kg_canonical_pairs oracle: the shared pre-scoring CTE chain plus an
+    INDEPENDENT canonical-component map — a plain-Python union-find over
+    the same alias edges (entity_id — ent:lower(surface)) inlined as
+    VALUES — cross-checking the engine's alternating large-star/small-star
+    connected components through the driver."""
+    from relex_spark.sources.transcripts import fixture_gazetteer_rows
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for surface, eid, _ in fixture_gazetteer_rows():
+        union(eid, "ent:" + surface.lower().replace(" ", "_"))
+    comp: dict[str, str] = {}
+    roots: dict[str, str] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    for n in parent:
+        comp[n] = roots[find(n)]
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    cmap_vals = ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(comp.items()))
+    return (
+        _kg_pairs_cte()
+        + f""",
+    cmap(node, component) AS (VALUES {cmap_vals}),
+    sel AS (
+        SELECT conv_id || ':' || CAST(turn_idx AS STRING) || ':'
+                       || CAST(pair_no AS STRING) AS id,
+               subj, obj
+        FROM p WHERE pair_no <= 10
+    ),
+    r AS (
+        SELECT COALESCE(cs.component, s.subj) AS subj,
+               COALESCE(co.component, s.obj) AS obj, s.id
+        FROM sel s
+        LEFT JOIN cmap cs ON s.subj = cs.node
+        LEFT JOIN cmap co ON s.obj = co.node
+    )
+    SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS support, MIN(id) AS first_id
+    FROM r GROUP BY subj, obj
+    """
+    )
 
 
 @register("kg_candidate_pairs", _kg_pairs_oracle())
@@ -2584,4 +2651,54 @@ def kg_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj",
         "head_type",
         "tail_type",
+    )
+
+
+@register("kg_canonical_pairs", _kg_canonical_oracle())
+def kg_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization at corpus scale, label-free: candidate
+    pairs → subj/obj rewritten through the REAL connected-components map
+    (alternating large-star/small-star over the gazetteer alias graph,
+    broadcast join) → (subj, obj) co-occurrence rollup. The oracle's
+    component map is an independent plain-Python union-find, so the CC
+    implementation itself is driver-cross-checked."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.operators.canonicalize import (
+        alias_edges_from_gazetteer,
+        connected_components,
+    )
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        gazetteer_df,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    pairs = generate_candidate_pairs(m, 10).select("id", "subj", "obj")
+
+    cmap = F.broadcast(
+        connected_components(alias_edges_from_gazetteer(gazetteer_df(spark)))
+    )
+    r = (
+        pairs.join(cmap, pairs["subj"] == cmap["node"], "left")
+        .select(
+            "id",
+            F.coalesce("component", "subj").alias("subj_c"),
+            "obj",
+        )
+        .join(cmap, F.col("obj") == cmap["node"], "left")
+        .select(
+            "id",
+            F.col("subj_c").alias("subj"),
+            F.coalesce("component", "obj").alias("obj"),
+        )
+    )
+    return r.groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+        F.min("id").alias("first_id"),
     )
