@@ -42,3 +42,39 @@ def test_keep_best_per_cluster_golden(spark):
     assert rows[4]["is_kept"] is True          # unpaired -> own cluster
     assert rows[4]["cluster"] == "4"
     assert rows[1]["cluster"] == rows[2]["cluster"] == "1"
+
+
+def test_pagerank_matches_numpy_reference_on_random_graph(spark):
+    """Seeded random digraph: the DataFrame loop must match an independent
+    dense numpy power-iteration implementation exactly (same simple-PageRank
+    semantics: uniform init, no dangling redistribution)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    n = 12
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(40, 2))
+            if a != b
+        }
+    )
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    out_deg = np.zeros(len(nodes))
+    for a, _ in edges:
+        out_deg[idx[a]] += 1
+    rank = np.ones(len(nodes))
+    for _ in range(3):
+        nxt = np.full(len(nodes), 0.15)
+        for a, b in edges:
+            nxt[idx[b]] += 0.85 * rank[idx[a]] / out_deg[idx[a]]
+        rank = nxt
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, 3).collect()}
+    assert set(got) == {str(v) for v in nodes}
+    for v in nodes:
+        assert abs(got[str(v)] - rank[idx[v]]) < 1e-9, v

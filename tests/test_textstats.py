@@ -58,3 +58,44 @@ def test_pii_signals_golden(spark):
     assert rows[2]["n_emails"] == 0
     assert rows[2]["n_phones"] == 0
     assert rows[2]["redacted"] == "no pii here 12-34 a@b"
+
+
+def test_repetition_signals_match_python_reference_random(spark):
+    """Seeded random token soups vs an independent pure-Python counter
+    implementation (micro-unit equality)."""
+    import math
+    import random
+    from collections import Counter
+
+    rnd = random.Random(20260817)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(2, 25))))
+        for i in range(30)
+    ]
+    u6 = lambda x: math.floor(x * 1_000_000 + 0.5)
+    expect = {}
+    for i, text in docs:
+        toks = text.split()
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(bigs)
+        expect[i] = (
+            len(toks),
+            u6(len(set(toks)) / len(toks)),
+            max(c.values()),
+            u6(max(c.values()) / len(bigs)),
+            u6((len(bigs) - len(c)) / len(bigs)),
+        )
+    rows = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["distinct_token_ratio_u6"],
+            r["top_bigram_count"],
+            r["top_bigram_frac_u6"],
+            r["dup_bigram_frac_u6"],
+        )
+        for r in repetition_signals(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert rows == expect
