@@ -55,6 +55,8 @@ def main() -> int:
         "dedup_ngram_jaccard",
         "ann_cosine_topk",
         "text_quality",
+        "text_repetition",
+        "x_lm_score",
         "events_tumbling_window",
     ]
     # Protocol (same as scripts/scaling_bench.py): one discarded warm run
@@ -193,6 +195,11 @@ def main() -> int:
             "spark": spark.version,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            # the driver testdata is one single-row-group parquet file per
+            # table, so every query's scan + narrow stage runs as ONE task
+            # regardless of cores — per-query times here carry that serial
+            # floor (the kg corpus is written as 128 files and does not)
+            "input_layout": "single-file single-rowgroup parquet per table",
         },
     }
     print(json.dumps(result), flush=True)
