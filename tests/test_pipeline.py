@@ -166,3 +166,19 @@ def test_score_distinct_parity(spark):
     a = sorted(key(r) for r in on.select(*cols).collect())
     b = sorted(key(r) for r in off.select(*cols).collect())
     assert a == b and a
+
+
+def test_empty_input_and_empty_gazetteer(spark):
+    """Zero-row input → zero triples (no crash in any stage, both scoring
+    variants); empty gazetteer → loud ValueError, not silent no-mentions."""
+    import pytest
+
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=5).limit(0)
+    assert build_triples(t, KGPipelineConfig()).count() == 0
+    assert build_triples(t, KGPipelineConfig(score_distinct=False)).count() == 0
+
+    full = synthesize_transcripts(spark, n_convs=2)
+    with pytest.raises(ValueError):
+        build_triples(full, KGPipelineConfig(gazetteer_rows=[]))
