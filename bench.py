@@ -108,6 +108,20 @@ def main() -> int:
         lambda: run_noop(build_triples(tdf, config)), n=4
     )
     timings["kg_scored_triples"] = scored_sec
+
+    # transparency: the same stage scoring every occurrence (the
+    # reference's own per-instance semantics; also the streaming path) —
+    # the gap between this and kg_scored_triples is what
+    # dedup-before-inference buys on this corpus's duplication factor
+    config_nodedup = KGPipelineConfig(score_distinct=False)
+    config_nodedup.weights = config.resolved_weights()
+    build_triples(tdf, config_nodedup).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    timings["kg_scored_triples_per_occurrence"] = best_of(
+        lambda: run_noop(build_triples(tdf, config_nodedup)), n=3
+    )
+
     scored = build_triples(tdf, config).cache()
     n_triples = scored.count()
 

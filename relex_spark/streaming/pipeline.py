@@ -209,3 +209,46 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def run_streaming_triples_batched(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    config=None,
+    available_now: bool = True,
+):
+    """Streaming triples via ``foreachBatch``: each micro-batch is a plain
+    DataFrame, so the batch pipeline runs UNCHANGED — including
+    dedup-before-inference (``score_distinct``), which the pure streaming
+    plan must skip (its dedup/join would need unbounded state; per-batch
+    dedup needs none and still wins whenever a batch repeats inputs).
+
+    Exactly-once: the parquet write is partitioned by batch id and each
+    batch OVERWRITES its own partition (dynamic partitionOverwriteMode), so
+    a replayed batch after failure rewrites the identical partition instead
+    of appending duplicates — idempotent replay on top of the checkpoint's
+    offset tracking.
+    """
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+
+    config = config or KGPipelineConfig()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = build_triples(batch_df, config).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -272,3 +272,32 @@ def test_streaming_exact_dedup_bounded_state(spark):
         assert q.lastProgress["stateOperators"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_triples_batched_equal_batch(spark):
+    """foreachBatch variant (dedup-before-inference active per batch) must
+    emit exactly the batch pipeline's triples."""
+    from relex_spark.streaming.pipeline import run_streaming_triples_batched
+
+    tmp = tempfile.mkdtemp(prefix="relex_fb_")
+    in_dir, out_dir, ck_dir = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    try:
+        t = synthesize_transcripts(spark, n_convs=20)
+        t.write.mode("overwrite").parquet(in_dir)
+        q = run_streaming_triples_batched(
+            stream_transcripts(spark, in_dir), out_dir, ck_dir, KGPipelineConfig()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["id"], r["label"])
+            for r in spark.read.parquet(out_dir).select("id", "label").collect()
+        }
+        expected = {
+            (r["id"], r["label"])
+            for r in build_triples(spark.read.parquet(in_dir), KGPipelineConfig())
+            .select("id", "label")
+            .collect()
+        }
+        assert got == expected and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
