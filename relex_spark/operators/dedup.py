@@ -337,12 +337,14 @@ def keep_best_per_cluster(
     clusters of themselves.
 
     Scale shape: one left join on the id (clusters side is ≤ |docs| and
-    pre-aggregated) + one rank window partitioned BY CLUSTER — keys are
-    cluster ids, so parallelism is |clusters|, not a global sort. Returns
+    pre-aggregated), then the winner per cluster via a max_by AGGREGATE —
+    not a rank window — so map-side partial combine collapses hot clusters
+    before the shuffle (a degenerate near-dup cluster of millions of rows
+    reduces per-partition instead of sorting in one reducer); the winner
+    join back is per-cluster-keyed, where AQE's skew splitting applies.
+    Requires a numeric id (the tie-break negates it). Returns
     (id, cluster, is_kept).
     """
-    from pyspark.sql import Window
-
     c = clusters.select(
         F.col("node").alias("__node"), F.col("component").alias("cluster")
     )
@@ -355,11 +357,14 @@ def keep_best_per_cluster(
             "cluster"
         ),
     )
-    w = Window.partitionBy("cluster").orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+    # max of (quality, -id): highest quality wins, ties -> smallest id
+    winners = joined.groupBy("cluster").agg(
+        F.max_by(
+            id_col, F.struct(F.col(quality_col), (-F.col(id_col)).alias("nid"))
+        ).alias("__keep_id")
     )
-    return joined.select(
+    return joined.join(winners, "cluster").select(
         id_col,
         "cluster",
-        (F.row_number().over(w) == 1).alias("is_kept"),
+        (F.col(id_col) == F.col("__keep_id")).alias("is_kept"),
     )
