@@ -1,13 +1,17 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-The Spark-side plumbing is real — schema, partition-preserving
-``mapInPandas`` feature extraction, Arrow batch shapes, deterministic
-synthetic payloads — while the actual codec step is stubbed behind an
-import-try (this container ships no image/audio libraries): with PIL/
-soundfile installed, ``decode_features`` would decode for real; without
-them it raises ``NotImplementedError`` unless ``allow_fake=True`` selects
-the deterministic fake featurizer (md5-seeded), which keeps every
-downstream shape and test real.
+Two decode paths:
+
+* REAL codecs (bottom of this module): WAV (RIFF PCM16) and BMP (BI_RGB
+  24-bit) are parsed for real with stdlib struct + numpy — chunk walking,
+  row padding, BGR order, bottom-up rows — via ``decode_features_real``
+  over ``synthesize_real_media`` payloads. No stubs, no external
+  libraries.
+* Opaque-payload path (``decode_features``): for formats whose codecs need
+  libraries this container doesn't ship (JPEG/PNG/MP3/video), the codec
+  step is stubbed behind an import-try; ``allow_fake=True`` selects the
+  deterministic md5-seeded featurizer, which keeps every downstream shape
+  (schema, Arrow batches, partitioning) real and driver-oracle-checkable.
 
 Schema:
     media_id BIGINT, kind STRING ('image'|'audio'|'video'),
@@ -159,3 +163,199 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         frame.alias("frame"),
         F.length(frame).cast("int").alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (no external libraries): WAV (RIFF PCM16) and BMP (BI_RGB
+# 24-bit) are fully decodable with stdlib struct + numpy, so for these two
+# formats the decode stage is REAL — bytes are parsed, not faked. Video
+# remains synthetic-payload-only (a real video codec is out of scope for
+# this container; frame slicing in sample_frames is format-agnostic).
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+WAV_SAMPLE_RATE = 8000
+
+
+def _wav_params(media_id: int) -> tuple[int, int, float]:
+    """(n_samples, freq_hz, amplitude) — closed-form in media_id, so header
+    fields recovered by the decoder are SQL-recomputable by the oracle."""
+    n = 256 + (media_id % 64) * 16
+    freq = 100 + (media_id % 32) * 10
+    amp = 0.25 + (media_id % 4) * 0.15
+    return n, freq, amp
+
+
+def wav_bytes(media_id: int) -> bytes:
+    """A real RIFF/WAVE file: 16-bit mono PCM sine tone."""
+    n, freq, amp = _wav_params(media_id)
+    t = np.arange(n, dtype=np.float64)
+    x = np.rint(
+        np.sin(2 * np.pi * freq * t / WAV_SAMPLE_RATE) * amp * 32767.0
+    ).astype("<i2")
+    data = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE container by walking its chunks (not fixed
+    offsets — a codec, not a slice): returns (sample_rate, int16 samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, data
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    return 16 + media_id % 16, 8 + media_id % 8
+
+
+def _bmp_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB gradient, closed-form in (media_id, x, y)."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 3 + media_id) % 256
+    g = (y * 7 + media_id * 2) % 256
+    b = (x + y + media_id * 5) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def bmp_bytes(media_id: int) -> bytes:
+    """A real BMP file: BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BI_RGB,
+    bottom-up rows, each padded to a 4-byte boundary (the classic codec
+    trap the decoder must honor)."""
+    w, h = _bmp_dims(media_id)
+    px = _bmp_pixels(media_id, w, h)
+    row_len = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for yy in range(h - 1, -1, -1):  # bottom-up
+        row = px[yy, :, ::-1].tobytes()  # BGR on disk
+        rows += row + b"\x00" * (row_len - len(row))
+    pixel_off = 14 + 40
+    total = pixel_off + len(rows)
+    file_hdr = b"BM" + struct.pack("<IHHI", total, 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return bytes(file_hdr) + info_hdr + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BI_RGB BMP: returns (h, w, 3) uint8 RGB (top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    row_len = (w * 3 + 3) & ~3
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    top_down = h < 0
+    for i in range(abs(h)):
+        off = pixel_off + i * row_len
+        row = np.frombuffer(payload[off : off + w * 3], dtype=np.uint8).reshape(
+            w, 3
+        )
+        yy = i if top_down else abs(h) - 1 - i
+        out[yy] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def synthesize_real_media(spark: SparkSession, n: int = 128) -> DataFrame:
+    """Real decodable payloads — WAV for odd ids, BMP for even ids —
+    generated distributively (numpy inside mapInPandas, pure function of
+    media_id)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = {
+                "media_id": ids,
+                "kind": ["audio" if i % 2 else "image" for i in ids],
+                "payload": [
+                    wav_bytes(i) if i % 2 else bmp_bytes(i) for i in ids
+                ],
+            }
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
+def decode_features_real(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction (no stubs, no external libs):
+    WAV → (sample_rate, n_samples, rms, zero-crossing rate, peak);
+    BMP → (width, height, mean R/G/B). Arrow-batched mapInPandas on the
+    scan partitioning — the same plan shape decode_features documents, with
+    actual byte parsing in the kernel."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("d1", T.DoubleType()),
+            T.StructField("d2", T.DoubleType()),
+            T.StructField("f1", T.DoubleType()),
+            T.StructField("f2", T.DoubleType()),
+            T.StructField("f3", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "n_bytes", "d1", "d2", "f1", "f2", "f3")}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(b))
+                if kind == "audio":
+                    rate, x = decode_wav(b)
+                    xf = x.astype(np.float64) / 32768.0
+                    out["d1"].append(float(rate))
+                    out["d2"].append(float(len(x)))
+                    out["f1"].append(float(np.sqrt(np.mean(xf * xf))))
+                    out["f2"].append(
+                        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                    )
+                    out["f3"].append(float(np.max(np.abs(xf))))
+                else:
+                    px = decode_bmp(b).astype(np.float64)
+                    out["d1"].append(float(px.shape[1]))  # width
+                    out["d2"].append(float(px.shape[0]))  # height
+                    out["f1"].append(float(px[:, :, 0].mean()))
+                    out["f2"].append(float(px[:, :, 1].mean()))
+                    out["f3"].append(float(px[:, :, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, schema=out_schema)

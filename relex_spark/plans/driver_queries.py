@@ -2702,3 +2702,44 @@ def kg_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("support"),
         F.min("id").alias("first_id"),
     )
+
+
+@register(
+    "mm_real_decode",
+    """
+    WITH ids AS (SELECT range AS i FROM range(0, 128)),
+    p AS (
+        SELECT i,
+               CASE WHEN i % 2 = 1 THEN 'audio' ELSE 'image' END AS kind,
+               256 + (i % 64) * 16 AS n_samples,
+               16 + i % 16 AS w,
+               8 + i % 8 AS h
+        FROM ids
+    )
+    SELECT i AS media_id, kind,
+           CAST(CASE WHEN kind = 'audio' THEN 44 + 2 * n_samples
+                ELSE 54 + ((w * 3 + 3) - (w * 3 + 3) % 4) * h END AS INT)
+             AS n_bytes,
+           CASE WHEN kind = 'audio' THEN 8000.0 ELSE CAST(w AS DOUBLE) END AS d1,
+           CASE WHEN kind = 'audio' THEN CAST(n_samples AS DOUBLE)
+                ELSE CAST(h AS DOUBLE) END AS d2
+    FROM p
+    """,
+)
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: WAV/BMP payloads generated, then parsed by
+    the stdlib-struct/numpy codecs inside mapInPandas. The oracle
+    recomputes the DECODED header fields (byte size, sample rate, sample
+    count, width, height) from the generator's closed forms — so a codec
+    that mis-parses any header, padding, or chunk layout hash-mismatches.
+    The DSP features (rms/zcr/means) are pinned by the ground-truth
+    roundtrip tests in tests/test_multimodal.py."""
+    from relex_spark.operators.multimodal import (
+        decode_features_real,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=128)
+    return decode_features_real(media).select(
+        "media_id", "kind", "n_bytes", "d1", "d2"
+    )

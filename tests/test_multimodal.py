@@ -50,3 +50,64 @@ def test_sample_frames_pure_sql(spark):
         n = vids[r["media_id"]]["meta"]["frames"]
         assert r["frame_bytes"] == 128 // n
     assert frames.schema["frame"].dataType.typeName() == "binary"
+
+
+def test_real_codec_roundtrip_against_ground_truth(spark):
+    """WAV/BMP bytes generated, decoded, and feature-extracted through the
+    full Spark path must match features computed directly from the
+    generator's ground-truth arrays (a true codec roundtrip: any header,
+    padding, channel-order, or row-order bug breaks equality)."""
+    import numpy as np
+
+    from relex_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixels,
+        _wav_params,
+        decode_features_real,
+        synthesize_real_media,
+        wav_bytes,
+        decode_wav,
+    )
+
+    media = synthesize_real_media(spark, n=24)
+    rows = {r["media_id"]: r for r in decode_features_real(media).collect()}
+    assert len(rows) == 24
+    for mid, r in rows.items():
+        if mid % 2:  # audio
+            n, freq, amp = _wav_params(mid)
+            _, x = decode_wav(wav_bytes(mid))
+            xf = x.astype(np.float64) / 32768.0
+            assert r["kind"] == "audio"
+            assert r["n_bytes"] == 44 + 2 * n
+            assert r["d1"] == 8000.0 and r["d2"] == float(n)
+            assert abs(r["f1"] - np.sqrt(np.mean(xf * xf))) < 1e-12
+            assert abs(r["f3"] - np.max(np.abs(xf))) < 1e-12
+        else:  # image
+            w, h = _bmp_dims(mid)
+            px = _bmp_pixels(mid, w, h).astype(np.float64)
+            row_len = (w * 3 + 3) & ~3
+            assert r["kind"] == "image"
+            assert r["n_bytes"] == 54 + row_len * h
+            assert (r["d1"], r["d2"]) == (float(w), float(h))
+            for j, f in enumerate(("f1", "f2", "f3")):
+                assert abs(r[f] - px[:, :, j].mean()) < 1e-12
+
+
+def test_wav_decoder_matches_stdlib_wave(spark):
+    """Independent-decoder check: Python's stdlib wave module reads the
+    generated files and yields identical samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from relex_spark.operators.multimodal import decode_wav, wav_bytes
+
+    for mid in (1, 9, 63):
+        wf = wave.open(io.BytesIO(wav_bytes(mid)))
+        assert (wf.getframerate(), wf.getnchannels(), wf.getsampwidth()) == (
+            8000, 1, 2,
+        )
+        ind = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        rate, own = decode_wav(wav_bytes(mid))
+        assert rate == 8000 and (ind == own).all()
