@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# under spark-submit --py-files the package ships in the zip; under a plain
+# `python scripts/run_pipeline.py` only the scripts/ dir is on sys.path, so
+# fall back to the repo root (same pattern as scaling_bench/check_oracles)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
