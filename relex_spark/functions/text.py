@@ -158,3 +158,15 @@ def portable_hash64(col: Column) -> Column:
     DuckDB: cast('0x' || substr(md5(x),1,15) as bigint)
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word bigrams as 'w1 w2' strings (with multiplicity) —
+    shared by textstats.repetition_signals and curation.bigram_lm_scores
+    (each pairs this with a matching DuckDB-oracle CTE; change both)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )

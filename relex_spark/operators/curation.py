@@ -13,7 +13,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from relex_spark.functions.text import portable_hash64, split_ws
+from relex_spark.functions.text import portable_hash64, split_ws, word_bigrams
 from relex_spark.operators.dedup import shingled_docs
 from relex_spark.operators.textstats import micro_units
 
@@ -120,14 +120,7 @@ def bigram_lm_scores(
     )
     big = base.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat(
-                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
-                ),
-            )
-        ).alias("bigram"),
+        F.explode(word_bigrams(F.col("toks"))).alias("bigram"),
     )
     # the only per-occurrence pass; checkpointed so c2/c1/V don't re-scan
     doc_big = big.groupBy(id_col, "bigram").agg(

@@ -368,3 +368,33 @@ def keep_best_per_cluster(
         "cluster",
         (F.col(id_col) == F.col("__keep_id")).alias("is_kept"),
     )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification join — the
+    near-dup pipeline core shared by dedup_lsh_verified / clustering /
+    representative selection. Shuffle is proportional to candidate pairs
+    only. Returns (id_a, id_b, jaccard DOUBLE raw — callers round/filter).
+    """
+    cands = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands)
+    # materialized once: both verify joins read the same shingle partitions
+    # instead of re-running the shingle build per side
+    sh = (
+        shingled_docs(docs)
+        .select(F.col(id_col), F.col("sh"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(a, cands["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, cands["id_b"] == F.col(f"b.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )

@@ -119,14 +119,19 @@ def asof_join(
         .orderBy(F.col(ts_col), F.desc("__is_right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the last right ROW (as a struct), not the last non-null of each
+    # value column: a struct is non-null for every right row even when the
+    # values inside it are null, so a matched right row with a NULL value
+    # yields NULL — matching ASOF semantics (carrying per-column non-nulls
+    # would resurrect an OLDER row's value through the null). One window
+    # expression for all columns instead of one per column, too.
+    row_struct = F.last(
+        F.when(F.col("__is_right") == 1, F.struct(*[F.col(c) for c in value_cols])),
+        ignorenulls=True,
+    ).over(w)
     carried = u.select(
         *left_cols,
         "__is_right",
-        *[
-            F.last(F.when(F.col("__is_right") == 1, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in value_cols
-        ],
+        *[row_struct[c].alias(c) for c in value_cols],
     )
     return carried.where(F.col("__is_right") == 0).drop("__is_right")

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from relex_spark.functions.text import split_ws
+from relex_spark.functions.text import split_ws, word_bigrams
 
 # Tiny deterministic stopword lists per language (heuristic language ID —
 # the judge-facing point is the operator shape: per-language hit counting +
@@ -114,7 +114,9 @@ def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
 
 # PII patterns chosen for identical semantics under Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repetition, \b word boundaries.
-PII_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+# Mixed/upper-case addresses and +tag local parts must match — a redactor
+# that only catches lowercase leaks PII into the corpus.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
 
@@ -158,14 +160,7 @@ def repetition_signals(
         id_col,
         F.size("toks").cast("int").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint").alias("distinct_tokens"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat(
-                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
-                ),
-            )
-        ).alias("bigram"),
+        F.explode(word_bigrams(F.col("toks"))).alias("bigram"),
     )
     counts = big.groupBy(id_col, "n_tokens", "distinct_tokens", "bigram").count()
     agg = counts.groupBy(id_col, "n_tokens", "distinct_tokens").agg(

@@ -1002,23 +1002,12 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent formulation that cross-checks the engine's alternating
     large-star/small-star implementation through the driver."""
     from relex_spark.operators.canonicalize import connected_components
-    from relex_spark.operators.dedup import minhash_lsh_candidates, shingled_docs
+    from relex_spark.operators.dedup import lsh_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
-    sh = (
-        shingled_docs(docs)
-        .select(F.col("doc_id"), F.col("sh"))
-        .localCheckpoint(eager=False)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    jac = inter.cast("double") / union.cast("double")
     pairs = (
-        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
-        .join(b, cands["id_b"] == F.col("b.doc_id"))
-        .where(jac >= 0.03)
+        lsh_verified_pairs(docs, num_hashes=8, bands=4)
+        .where(F.col("jaccard") >= 0.03)
         .select(
             F.col("id_a").cast("string").alias("src"),
             F.col("id_b").cast("string").alias("dst"),
@@ -1114,26 +1103,12 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: LSH candidate generation → exact Jaccard
     verification join — shuffle is proportional to candidate pairs only
     (the scale shape for trillion-row dedup)."""
-    from relex_spark.operators.dedup import minhash_lsh_candidates, shingled_docs
+    from relex_spark.operators.dedup import lsh_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
-    # materialized once: both verify joins read the same shingle partitions
-    # instead of re-running the shingle build per side
-    sh = (
-        shingled_docs(docs)
-        .select(F.col("doc_id"), F.col("sh"))
-        .localCheckpoint(eager=False)
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    jac = inter.cast("double") / union.cast("double")
     return (
-        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
-        .join(b, cands["id_b"] == F.col("b.doc_id"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        lsh_verified_pairs(docs, num_hashes=8, bands=4)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .where(F.col("jaccard") >= 0.03)
     )
 
@@ -2107,10 +2082,10 @@ _PII_INJECT_SQL = (
     rf"""
     WITH aug AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
            CAST(len(regexp_extract_all(text, '\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
            md5(regexp_replace(
-                 regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
                  '\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\b', '<PHONE>', 'g')) AS redacted_md5
     FROM aug
     """,
@@ -2376,27 +2351,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id); unpaired docs are singleton clusters. Rank window is
     partitioned by cluster — no global sort."""
     from relex_spark.operators.canonicalize import connected_components
-    from relex_spark.operators.dedup import (
-        keep_best_per_cluster,
-        minhash_lsh_candidates,
-        shingled_docs,
-    )
+    from relex_spark.operators.dedup import keep_best_per_cluster, lsh_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
-    sh = (
-        shingled_docs(docs)
-        .select(F.col("doc_id"), F.col("sh"))
-        .localCheckpoint(eager=False)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    jac = inter.cast("double") / union.cast("double")
     pairs = (
-        cands.join(a, cands["id_a"] == F.col("a.doc_id"))
-        .join(b, cands["id_b"] == F.col("b.doc_id"))
-        .where(jac >= 0.03)
+        lsh_verified_pairs(docs, num_hashes=8, bands=4)
+        .where(F.col("jaccard") >= 0.03)
         .select(
             F.col("id_a").cast("string").alias("src"),
             F.col("id_b").cast("string").alias("dst"),

@@ -135,6 +135,13 @@ def build_triples(
         if config.encoder in ("gcn", "gat"):
             feat.append("adjacency")
             key_parts.append(F.md5(F.to_json("adjacency")))
+        # multi-namespace weights (M1): the score is a function of the tag
+        # sequences too — they must ride through the dedup AND salt the key
+        # (otherwise two candidates with equal tokens/spans but different
+        # ner/pos tags would collapse to one wrong score)
+        for ns in sorted((weights_bc.value.extra.get("ns_emb") or {}).keys()):
+            feat.append(ns)
+            key_parts.append(F.concat_ws(" ", ns))
         key = F.md5(F.concat_ws("\x01", *key_parts))
         # Materialize the keyed candidates once (lazy localCheckpoint):
         # both the distinct branch and the join-back side consume pairs_k,

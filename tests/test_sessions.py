@@ -188,3 +188,33 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
             else None
         )
         assert got[eid] == expected, (eid, k, ts)
+
+
+def test_asof_join_null_value_in_matched_row_stays_null(spark):
+    """A matched right row whose value is NULL must yield NULL — not an
+    older row's value resurrected through the null (ASOF semantics; the
+    DuckDB native ASOF JOIN oracle agrees)."""
+    import datetime as dt
+
+    from relex_spark.operators.sessions import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [
+            ("A", base + dt.timedelta(minutes=5), 5.0),
+            ("A", base + dt.timedelta(minutes=20), None),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [
+            ("A", base + dt.timedelta(minutes=10)),   # matches 00:05 -> 5.0
+            ("A", base + dt.timedelta(minutes=30)),   # matches 00:20 -> NULL
+            ("A", base + dt.timedelta(minutes=1)),    # nothing before -> NULL
+        ],
+        "k string, ts timestamp",
+    )
+    rows = {r["ts"]: r["v"] for r in asof_join(left, right, "k").collect()}
+    assert rows[base + dt.timedelta(minutes=10)] == 5.0
+    assert rows[base + dt.timedelta(minutes=30)] is None
+    assert rows[base + dt.timedelta(minutes=1)] is None

@@ -39,6 +39,7 @@ def test_pii_signals_golden(spark):
         [
             (1, "mail bob.smith@example.com or 555-123-4567 today"),
             (2, "no pii here 12-34 a@b"),  # near-misses must not match
+            (3, "Upper Case John.Doe+tag@Gmail.COM here"),
         ],
         ["doc_id", "text"],
     )
@@ -58,6 +59,8 @@ def test_pii_signals_golden(spark):
     assert rows[2]["n_emails"] == 0
     assert rows[2]["n_phones"] == 0
     assert rows[2]["redacted"] == "no pii here 12-34 a@b"
+    assert rows[3]["n_emails"] == 1
+    assert rows[3]["redacted"] == "Upper Case <EMAIL> here"
 
 
 def test_repetition_signals_match_python_reference_random(spark):
