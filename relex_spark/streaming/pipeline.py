@@ -252,3 +252,88 @@ def run_streaming_triples_batched(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_canonical_graph(
+    stream: DataFrame,
+    graph_dir: str,
+    checkpoint_dir: str,
+    config=None,
+    available_now: bool = True,
+):
+    """Incrementally-maintained canonical graph: per micro-batch, extract
+    + canonicalize that batch's triples, then MERGE the batch rollup into
+    the accumulated (subj, pred, obj) table with monoid algebra
+    (operators/incremental.merge_rollups: support sums, max_score maxes,
+    first_id mins) — so the materialized graph equals the single-pass
+    batch rollup over everything ingested (merge-equivalence, pinned by
+    test). Each committed version lives under ``graph_dir/v{batch_id}``
+    with the stage manifest as the atomic commit marker; a replayed batch
+    rewrites the same version directory idempotently and the reader
+    follows the highest complete version.
+    """
+    import os
+
+    from relex_spark.operators.canonicalize import (
+        alias_edges_from_gazetteer,
+        canonicalize_triples,
+        connected_components,
+    )
+    from relex_spark.operators.incremental import merge_rollups
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig, build_triples
+    from relex_spark.sources.sinks import read_stage, stage_is_complete, write_stage
+    from relex_spark.sources.transcripts import gazetteer_df
+
+    config = config or KGPipelineConfig()
+
+    def latest_version_below(limit: int) -> int | None:
+        """Largest complete version STRICTLY below ``limit`` — a replayed
+        batch must merge against its predecessor, not against its own
+        (possibly committed) output, or replay would drop history."""
+        if not os.path.isdir(graph_dir):
+            return None
+        best = None
+        for name in os.listdir(graph_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                if v < limit and stage_is_complete(
+                    os.path.join(graph_dir, name), "canonical_graph"
+                ) and (best is None or v > best):
+                    best = v
+        return best
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        components = connected_components(
+            alias_edges_from_gazetteer(gazetteer_df(spark))
+        )
+        update = canonicalize_triples(
+            build_triples(batch_df, config),
+            components,
+            salt_buckets=config.salt_buckets,
+        )
+        prev = latest_version_below(batch_id)
+        if prev is not None:
+            accumulated = read_stage(
+                spark, os.path.join(graph_dir, f"v{prev}"), drop_lineage=True
+            )
+            update = merge_rollups(
+                accumulated,
+                update,
+                keys=("subj", "pred", "obj"),
+                sum_cols=("support",),
+                max_cols=("max_score",),
+                min_cols=("first_id",),
+            )
+        write_stage(
+            update,
+            os.path.join(graph_dir, f"v{batch_id}"),
+            "canonical_graph",
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

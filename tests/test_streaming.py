@@ -301,3 +301,53 @@ def test_streaming_triples_batched_equal_batch(spark):
         assert got == expected and got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_canonical_graph_merge_equivalence(spark):
+    """The incrementally-maintained canonical graph (per-batch triples
+    merged with monoid algebra) must equal the single-pass batch pipeline
+    over all ingested turns — across multiple micro-batches."""
+    import os
+
+    from relex_spark.operators.canonicalize import (
+        alias_edges_from_gazetteer,
+        canonicalize_triples,
+        connected_components,
+    )
+    from relex_spark.sources.transcripts import gazetteer_df
+    from relex_spark.streaming.pipeline import run_streaming_canonical_graph
+
+    tmp = tempfile.mkdtemp(prefix="relex_inc_")
+    in_dir, g_dir, ck_dir = f"{tmp}/in", f"{tmp}/graph", f"{tmp}/ck"
+    try:
+        t = synthesize_transcripts(spark, n_convs=30).cache()
+        # two files -> maxFilesPerTrigger=1 yields 2+ micro-batches
+        t.where(F.col("conv_id") < "conv-00015").write.parquet(f"{in_dir}/a")
+        t.where(F.col("conv_id") >= "conv-00015").write.parquet(f"{in_dir}/b")
+
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*")
+        )
+        q = run_streaming_canonical_graph(stream, g_dir, ck_dir, KGPipelineConfig())
+        q.awaitTermination(300)
+
+        versions = sorted(
+            int(n[1:]) for n in os.listdir(g_dir) if n.startswith("v")
+        )
+        assert len(versions) >= 2  # incrementally maintained, not one-shot
+        latest = spark.read.parquet(f"{g_dir}/v{versions[-1]}")
+
+        components = connected_components(
+            alias_edges_from_gazetteer(gazetteer_df(spark))
+        )
+        expected = canonicalize_triples(
+            build_triples(t, KGPipelineConfig()), components
+        )
+        key = lambda r: (r["subj"], r["pred"], r["obj"])
+        got = {key(r): (r["support"], r["first_id"]) for r in latest.collect()}
+        want = {key(r): (r["support"], r["first_id"]) for r in expected.collect()}
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
