@@ -1249,13 +1249,7 @@ def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_adj = with_adjacency(cands, prune=1, max_len=100)
     wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
     scored = score_candidates(with_adj, wbc, keep_columns=["id"], encoder="gcn")
-    return scored.select(
-        "id",
-        "label",
-        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
-        .cast("bigint")
-        .alias("score_u6"),
-    )
+    return _u6_scored(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -1624,6 +1618,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.40)
 
 
+def _u6_scored(scored: DataFrame) -> DataFrame:
+    """(id, label, score_u6): score → engine-portable micro-units — the
+    exact rounding the literal golden-VALUES oracles are pinned to (one
+    definition so the ★ encoder queries cannot drift apart)."""
+    return scored.select(
+        "id",
+        "label",
+        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_u6"),
+    )
+
+
 def _fixture_scored(spark: SparkSession, encoder: str) -> DataFrame:
     """Shared body for the non-flagship encoder queries (M9/M10/M13): score
     the SemEval fixture candidates with the named encoder kernel."""
@@ -1646,13 +1653,7 @@ def _fixture_scored(spark: SparkSession, encoder: str) -> DataFrame:
     scored = score_candidates(cands, wbc, keep_columns=["id"], encoder=encoder)
     # score → micro-units: integer-stable across engines for the literal
     # golden oracle (fixture inputs are deterministic, so outputs are too)
-    return scored.select(
-        "id",
-        "label",
-        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
-        .cast("bigint")
-        .alias("score_u6"),
-    )
+    return _u6_scored(scored)
 
 
 @register(
@@ -1767,13 +1768,7 @@ def m1_multi_namespace_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wbc = broadcast_weights(spark, _ns_weights())
     scored = score_candidates(cands, wbc, keep_columns=["id"], encoder="cnn")
-    return scored.select(
-        "id",
-        "label",
-        F.floor(F.col("score").cast("double") * 1000000.0 + 0.5)
-        .cast("bigint")
-        .alias("score_u6"),
-    )
+    return _u6_scored(scored)
 
 
 _DIR_RULE = """
