@@ -174,18 +174,9 @@ def main() -> int:
         ),
         config.max_len,
     )
-    import pyspark.sql.functions as _F
+    from relex_spark.plans.kg_pipeline import score_key
 
-    _key = _F.md5(
-        _F.concat_ws(
-            "\x01",
-            _F.concat_ws(" ", "tokens"),
-            *[
-                _F.col(c).cast("string")
-                for c in ["head_start", "head_end", "tail_start", "tail_end"]
-            ],
-        )
-    )
+    _, _key = score_key(config.encoder)  # the same key build_triples dedups on
     distinct_scored = pairs.select(_key.alias("k")).distinct().count()
 
     total = round(sum(timings.values()), 3)

@@ -98,6 +98,15 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key_col, ts_col)]
     left_cols = left.columns
+    clash = sorted(set(value_cols) & set(left_cols))
+    if clash:
+        # the union-tag construction emits one column per name; a carried
+        # value sharing a left column's name would be ambiguous — fail
+        # loudly instead of letting resolution pick one silently
+        raise ValueError(
+            f"right value columns {clash} collide with left columns — "
+            "rename them before asof_join (e.g. right.withColumnRenamed)"
+        )
 
     def null_as(c: str, typ_src: DataFrame) -> Column:
         return F.lit(None).cast(typ_src.schema[c].dataType).alias(c)

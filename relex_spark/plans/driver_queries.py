@@ -667,7 +667,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(CAST(sig[b.band*2+1] AS VARCHAR) || ',' || CAST(sig[b.band*2+2] AS VARCHAR)) AS bucket
         FROM sig, (SELECT range AS band FROM range(0, 4)) b
     )
-    SELECT l.id AS id_a, r.id AS id_b, MIN(l.band) AS first_band
+    SELECT l.id AS id_a, r.id AS id_b, CAST(MIN(l.band) AS INT) AS first_band
     FROM buckets l JOIN buckets r
       ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
     GROUP BY l.id, r.id
@@ -1263,7 +1263,7 @@ def m12_gcn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
         SELECT user_id, event_id, value,
-               ROW_NUMBER() OVER w AS rn,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
                LAG(event_id) OVER w AS prev_event,
                LEAD(event_id) OVER w AS next_event,
                SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) OVER (
@@ -1447,11 +1447,11 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "q_pivot_event_matrix",
     """
     SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events
     GROUP BY 1
     """,
@@ -2507,8 +2507,10 @@ def _kg_pairs_oracle() -> str:
            conv_id || ':' || CAST(turn_idx AS STRING) || ':'
                    || CAST(pair_no AS STRING) AS id,
            md5(array_to_string(toks[1:100], ' ')) AS tokens_md5,
-           LEAST(hs, 99) AS head_start, LEAST(he, 99) AS head_end,
-           LEAST(ts, 99) AS tail_start, LEAST(te, 99) AS tail_end,
+           CAST(LEAST(hs, 99) AS INT) AS head_start,
+           CAST(LEAST(he, 99) AS INT) AS head_end,
+           CAST(LEAST(ts, 99) AS INT) AS tail_start,
+           CAST(LEAST(te, 99) AS INT) AS tail_end,
            subj, obj, head_type, tail_type
     FROM p WHERE pair_no <= 10
     """

@@ -94,6 +94,31 @@ class KGPipelineConfig:
         return self.weights
 
 
+def score_key(encoder: str, ns_names: list[str] | None = None):
+    """(feature columns, md5 key expression) identifying a scoring input —
+    the dedup-before-inference identity. ONE definition, shared by
+    build_triples and bench.py's distinct-input metric, so the published
+    duplication factor cannot drift from the key the pipeline dedups on.
+
+    The key covers everything the score is a function of: tokens + spans,
+    plus adjacency for graph encoders, plus each namespace tag sequence
+    for multi-namespace (M1) weights — two candidates with equal tokens
+    but different ner/pos tags must NOT collapse to one score.
+    """
+    feat = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
+    key_parts = [
+        F.concat_ws(" ", "tokens"),
+        *[F.col(c).cast("string") for c in feat[1:]],
+    ]
+    if encoder in ("gcn", "gat"):
+        feat.append("adjacency")
+        key_parts.append(F.md5(F.to_json("adjacency")))
+    for ns in ns_names or []:
+        feat.append(ns)
+        key_parts.append(F.concat_ws(" ", ns))
+    return feat, F.md5(F.concat_ws("\x01", *key_parts))
+
+
 def preprocess_candidates(candidates: DataFrame, max_len: int) -> DataFrame:
     """P5 truncation + P7 span clamping (order fixed: SURVEY §4 barrier)."""
     return (
@@ -127,22 +152,9 @@ def build_triples(
         # with map-side partial combine, so hot duplicate keys collapse
         # before the shuffle; the join back is on the same key, and AQE
         # broadcasts the scored-distinct side when it is small.
-        feat = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
-        key_parts = [
-            F.concat_ws(" ", "tokens"),
-            *[F.col(c).cast("string") for c in feat[1:]],
-        ]
-        if config.encoder in ("gcn", "gat"):
-            feat.append("adjacency")
-            key_parts.append(F.md5(F.to_json("adjacency")))
-        # multi-namespace weights (M1): the score is a function of the tag
-        # sequences too — they must ride through the dedup AND salt the key
-        # (otherwise two candidates with equal tokens/spans but different
-        # ner/pos tags would collapse to one wrong score)
-        for ns in sorted((weights_bc.value.extra.get("ns_emb") or {}).keys()):
-            feat.append(ns)
-            key_parts.append(F.concat_ws(" ", ns))
-        key = F.md5(F.concat_ws("\x01", *key_parts))
+        feat, key = score_key(
+            config.encoder, sorted((weights_bc.value.extra.get("ns_emb") or {}))
+        )
         # Materialize the keyed candidates once (lazy localCheckpoint):
         # both the distinct branch and the join-back side consume pairs_k,
         # and without it the whole narrow scan→detect→pairs chain executes

@@ -78,14 +78,17 @@ class ModelWeights:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        # Offset lookups index 1 + n_position + (pos - span) with pos up to
-        # max_len - 1; a too-small table would make negative numpy indices
-        # silently wrap to the wrong rows (positions left of the span) while
-        # positive overflow raises. Fail loudly at construction instead.
-        if self.n_position < self.max_len - 1:
+        # Offset lookups index 1 + n_position + (pos - span); the extreme
+        # index is 1 + n_position + (max_len - 1) (pos = max_len-1, span
+        # start 0) and the table has 2*n_position + 1 rows (max valid index
+        # 2*n_position), so the bound is n_position >= max_len. A too-small
+        # table would make negative numpy indices silently wrap to the
+        # wrong rows while positive overflow raises mid-job inside the
+        # distributed stage. Fail loudly at construction instead.
+        if self.n_position < self.max_len:
             raise ValueError(
-                f"n_position ({self.n_position}) must be >= max_len - 1 "
-                f"({self.max_len - 1}): offset-embedding indices would wrap"
+                f"n_position ({self.n_position}) must be >= max_len "
+                f"({self.max_len}): offset-embedding indices would overflow"
             )
 
     @property

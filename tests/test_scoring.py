@@ -170,13 +170,19 @@ def test_predict_json_lifecycle(spark, weights):
 
 
 def test_weights_reject_offset_table_too_small():
-    """n_position < max_len - 1 would make offset lookups wrap to wrong
-    table rows (numpy negative indexing) — must fail at construction."""
+    """n_position < max_len would overflow the extreme offset index
+    1 + n_position + (max_len - 1) past the 2*n_position table bound
+    (and negative numpy indices would silently wrap) — must fail at
+    construction, not mid-job."""
     import pytest
 
     with pytest.raises(ValueError, match="n_position"):
         build_fixture_weights(["a", "b"], n_position=10, max_len=64)
-    build_fixture_weights(["a", "b"], n_position=63, max_len=64)  # boundary ok
+    with pytest.raises(ValueError, match="n_position"):
+        # old off-by-one blessing: index 1+63+63 = 127 would hit row 127
+        # of a 127-row table (max valid 126) → IndexError mid-stage
+        build_fixture_weights(["a", "b"], n_position=63, max_len=64)
+    build_fixture_weights(["a", "b"], n_position=64, max_len=64)  # boundary ok
 
 
 def test_multi_namespace_scoring_matches_oracle(spark):

@@ -218,3 +218,17 @@ def test_asof_join_null_value_in_matched_row_stays_null(spark):
     assert rows[base + dt.timedelta(minutes=10)] == 5.0
     assert rows[base + dt.timedelta(minutes=30)] is None
     assert rows[base + dt.timedelta(minutes=1)] is None
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    import datetime as dt
+
+    import pytest
+
+    from relex_spark.operators.sessions import asof_join
+
+    ts = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([("A", ts, 1.0)], "k string, ts timestamp, price double")
+    right = spark.createDataFrame([("A", ts, 2.0)], "k string, ts timestamp, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k")
