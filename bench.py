@@ -76,7 +76,11 @@ def main() -> int:
 
     for name in bench_queries:
         run_noop(QUERIES[name](spark, sf_dir))  # discarded warm run
-        timings[name] = best_of(lambda: run_noop(QUERIES[name](spark, sf_dir)))
+        # n=3: observed 3-4x swings between consecutive runs under the
+        # host's multi-tenant load spikes; two samples can both land on one
+        timings[name] = best_of(
+            lambda: run_noop(QUERIES[name](spark, sf_dir)), n=3
+        )
         log(f"{name}: {timings[name]}s")
 
     # --- flagship KG pipeline at sf-proportional transcript scale ---------
