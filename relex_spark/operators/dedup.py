@@ -398,3 +398,61 @@ def lsh_verified_pairs(
         .join(b, cands["id_b"] == F.col(f"b.{id_col}"))
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 16-bit signature into four
+    4-bit bands; by pigeonhole, any pair within Hamming distance 3 agrees
+    on at least one band, so an equi-join on (band_no, band_value) finds
+    every such pair — shuffle proportional to band buckets, never n².
+    Survivors are verified exactly with bit_count(xor) <= max_hamming.
+
+    16 bits is the oracle-portable demo width; at production scale widen
+    the signature (64-bit, 8-bit bands) or candidate density explodes on
+    homogeneous corpora — the band-join/verify SHAPE is width-independent.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sig")
+    )
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

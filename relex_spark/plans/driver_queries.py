@@ -2700,3 +2700,41 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features_real(media).select(
         "media_id", "kind", "n_bytes", "d1", "d2"
     )
+
+
+def _simhash_pairs_oracle() -> str:
+    """Banded SimHash candidates + exact Hamming verify, from the same
+    signature CTE as dedup_simhash."""
+    h = _H64.format(x="t")
+    votes = ", ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) AS v{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    return rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hh AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM t),
+    vv AS (SELECT doc_id, {votes} FROM hh),
+    s AS (SELECT doc_id AS id, CAST({sig} AS BIGINT) AS sig FROM vv),
+    bands AS (
+        SELECT id, sig, b.band AS band, (sig >> (4 * b.band)) & 15 AS val
+        FROM s, (SELECT range AS band FROM range(0, 4)) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs: 4-bit band join (pigeonhole-complete for
+    Hamming <= 3) + exact bit_count verify — the SimHash complement of the
+    MinHash-LSH pipeline."""
+    from relex_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_t(spark, sf_dir, "documents"))

@@ -102,3 +102,32 @@ def test_repetition_signals_match_python_reference_random(spark):
         ).collect()
     }
     assert rows == expect
+
+
+def test_simhash_pairs_golden(spark):
+    """Identical docs pair at Hamming 0; a doc sharing no tokens with them
+    only pairs if its signature lands within 3 bits (checked exactly)."""
+    from relex_spark.operators.dedup import simhash_candidate_pairs, simhash16
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),       # identical -> hamming 0
+            (3, "completely different words here x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", simhash16(F.col("text")).alias("s")
+        ).collect()
+    }
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ((1, 3) in pairs) == (ham13 <= 3)
