@@ -2738,3 +2738,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relex_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH u AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               l.l_extendedprice / l.l_quantity AS up
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 15
+    )
+    SELECT u.l_partkey AS partkey,
+           CAST(floor(u.up * 1000000 + 0.5) AS BIGINT) AS unit_price_u6,
+           CAST(MIN(u.l_suppkey) AS BIGINT) AS suppkey
+    FROM u
+    WHERE u.up = (SELECT MIN(u2.up) FROM u u2 WHERE u2.l_partkey = u.l_partkey)
+    GROUP BY u.l_partkey, u.up
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery): per small part, the
+    minimum unit price and its supplier (ties → min suppkey). The oracle
+    keeps the correlated subquery; the Spark plan is the DECORRELATED
+    form Catalyst would produce — per-key min aggregate joined back — so
+    the pair documents the rewrite. Broadcast part filter; both the min
+    aggregate and the join are partkey-keyed (co-partitioned shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") < 15).select("p_partkey")
+    u = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    m = u.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("up").alias("mu"))
+    return (
+        u.join(m, (u["l_partkey"] == m["mk"]) & (u["up"] == m["mu"]))
+        .groupBy(F.col("l_partkey").alias("partkey"), "up")
+        .agg(F.min("l_suppkey").cast("bigint").alias("suppkey"))
+        .select(
+            "partkey",
+            F.floor(F.col("up") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("unit_price_u6"),
+            "suppkey",
+        )
+    )
