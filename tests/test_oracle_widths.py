@@ -66,3 +66,21 @@ def test_every_oracle_matches_spark_column_types(spark):
         "oracle column types diverge from Spark (HUGEINT from an uncast "
         f"SUM is the classic driver hash-killer): {mismatches}"
     )
+
+
+def test_no_query_emits_complex_typed_columns(spark):
+    """The driver canonicalizes results through pandas sort_values, which
+    dies on unhashable cells — an ARRAY<FLOAT> output column was
+    CORRECTNESS_r01's one hard ERROR (mm_decode_features). Every
+    registered query (including rows-only ones) must emit scalar columns
+    only."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        sdf = fn(spark, SF_DIR)  # lazy
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
