@@ -67,12 +67,19 @@ def sdp_kept_nodes(
 
     # LCA = the common ancestor whose subtree contains no other common
     # ancestor (deepest); equivalently the first common node on any chain.
-    if len(common) == 1:
-        lca = next(iter(common))
+    # A multi-root forest or cycle-truncated parse can leave NO common
+    # ancestor (each span reaches a different root) — keep both full
+    # ancestor paths and anchor on the subject chain's root instead of
+    # crashing the Arrow task mid-job.
+    if not common:
+        lca = chains[0][-1]
+        path = subj_anc | obj_anc
     else:
-        lca = next(n for n in chains[0] if n in common)
-
-    path = (subj_anc | obj_anc) - common
+        if len(common) == 1:
+            lca = next(iter(common))
+        else:
+            lca = next(n for n in chains[0] if n in common)
+        path = (subj_anc | obj_anc) - common
     path.add(lca)
 
     # distance of every node to the path: walk upward until a path node

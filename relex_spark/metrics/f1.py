@@ -187,8 +187,14 @@ def semeval_official_counts(
     )
 
 
+SEMEVAL_NUM_CLASSES = 9  # direction-collapsed relation classes, excl. Other
+
+
 def semeval_official_f1(
-    joined: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+    joined: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+    num_classes: int = SEMEVAL_NUM_CLASSES,
 ) -> dict[str, float]:
     """E4: official-scorer headline re-expressed as aggregations — macro
     over the 9 relation classes (directional collapse for the class axis,
@@ -198,14 +204,21 @@ def semeval_official_f1(
     regex-parses, semeval2010_task8_evaluation.py:26-28,35-53) reports
     each of P, R, F1 as the MEAN of the per-class values — the headline F1
     is the mean of per-class F1s, NOT the harmonic mean of macro P and R
-    (the two agree only when per-class P/R are symmetric)."""
+    (the two agree only when per-class P/R are symmetric).
+
+    The official scorer's confusion matrix always carries all
+    ``num_classes`` classes: a class absent from this slice contributes 0
+    to every mean, so the denominator is ``num_classes`` — NOT the number
+    of observed classes (dividing by the observed count inflates the
+    headline whenever a class is missing)."""
     per_label = semeval_official_counts(joined, gold_col, pred_col)
     rows = f1_metrics(per_label).collect()
     if not rows:
         return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
-    p = sum(r["precision"] for r in rows) / len(rows)
-    r_ = sum(r["recall"] for r in rows) / len(rows)
-    f1 = sum(r["f1"] for r in rows) / len(rows)
+    n = max(num_classes, len(rows))
+    p = sum(r["precision"] for r in rows) / n
+    r_ = sum(r["recall"] for r in rows) / n
+    f1 = sum(r["f1"] for r in rows) / n
     return {"precision": p, "recall": r_, "f1": f1}
 
 

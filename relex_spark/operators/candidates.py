@@ -103,6 +103,17 @@ def detect_mentions(
     """
     if not gazetteer_rows:
         raise ValueError("empty gazetteer")
+    surfaces = [s for s, _, _ in gazetteer_rows]
+    if len(surfaces) != len(set(surfaces)):
+        # a literal map cannot represent two entities per surface, and
+        # Spark's default mapKeyDedupPolicy=EXCEPTION would kill the job at
+        # the first evaluated row — fail at build time with the remedy
+        dupes = sorted({s for s in surfaces if surfaces.count(s) > 1})
+        raise ValueError(
+            f"duplicate gazetteer surfaces {dupes[:5]}: ambiguous-surface "
+            "gazetteers need detect_mentions_join (emits every entity per "
+            "surface)"
+        )
     max_n = max(len(s.split(" ")) for s, _, _ in gazetteer_rows)
 
     id_pairs: list[Column] = []
@@ -164,7 +175,6 @@ def detect_mentions_join(
     mentions = (
         hits.groupBy("conv_id", "turn_idx")
         .agg(
-            F.first("tokens").alias("tokens"),
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -179,7 +189,10 @@ def detect_mentions_join(
         )
         .withColumn("mentions", _drop_contained(F.col("mentions")))
     )
-    return df.drop("tokens").join(mentions, ["conv_id", "turn_idx"], "left").withColumn(
+    # keep df's own tokens column (NOT an aggregate-side copy): a turn with
+    # no gazetteer hit has no mentions row, and the left join must still
+    # carry real tokens for it — only the mentions array gets the [] repair
+    return df.join(mentions, ["conv_id", "turn_idx"], "left").withColumn(
         "mentions", F.coalesce(F.col("mentions"), F.array().cast(f"array<{MENTION_STRUCT}>"))
     )
 

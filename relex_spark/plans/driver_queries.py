@@ -1709,9 +1709,9 @@ def m10_attention_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _golden_oracle(
         _SCORED_COLS,
         [
-            ("e779865fb96bbbcc4ca4", "Member-Collection(e2,e1)", 69413),
-            ("e7798ae9c0adbcdc81e7", "Member-Collection(e1,e2)", 64570),
-            ("e7798fb926b9403cfcd2", "Member-Collection(e1,e2)", 66328),
+            ("e779865fb96bbbcc4ca4", "Member-Collection(e2,e1)", 69324),
+            ("e7798ae9c0adbcdc81e7", "Member-Collection(e1,e2)", 64653),
+            ("e7798fb926b9403cfcd2", "Member-Collection(e1,e2)", 66420),
         ],
     ),
 )

@@ -222,7 +222,11 @@ def boe_encode(x: np.ndarray, lengths: np.ndarray, pooling: str = "sum") -> np.n
     if pooling == "max":
         lmax = x.shape[1]
         mask = np.arange(lmax)[None, :] < lengths[:, None]
-        return np.where(mask[:, :, None], x, -np.inf).max(axis=1)
+        pooled = np.where(mask[:, :, None], x, -np.inf).max(axis=1)
+        # zero-token rows: all lanes -inf would propagate to NaN logits —
+        # define the empty pool as 0 (the CNN path's analogue of its
+        # ReLU(bias) short-row rule)
+        return np.where(mask.any(axis=1)[:, None], pooled, 0.0)
     raise ValueError(f"'{pooling}' is not a valid pooling operation.")
 
 
@@ -244,7 +248,10 @@ def scoped_pool_batch(
     def _pool(mask: np.ndarray) -> np.ndarray:
         m = mask[:, :, None]
         if pooling == "max":
-            return np.where(m, x, -np.inf).max(axis=1)
+            pooled = np.where(m, x, -np.inf).max(axis=1)
+            # empty scope (zero-token row, or a span clamped outside the
+            # sequence): defined as 0, not -inf -> NaN
+            return np.where(mask.any(axis=1)[:, None], pooled, 0.0)
         if pooling == "mean":
             cnt = np.maximum(mask.sum(axis=1)[:, None], 1)
             return (x * m).sum(axis=1) / cnt
@@ -281,15 +288,20 @@ def softmax(logits: np.ndarray) -> np.ndarray:
 
 
 def _densify_adjacency(adjacency: list, b: int, lmax: int) -> np.ndarray:
-    """G5: per-row edge lists → (B, L, L) 0/1 matrices (tacred.py:167-169)."""
+    """G5 batch driver: per-row edge lists → (B, L, L) 0/1 matrices
+    (tacred.py:167-169). Normalizes Arrow structs to tuples and delegates
+    the per-row matrix to graph.adjacency.densify — ONE G5 definition."""
+    from relex_spark.graph.adjacency import densify
+
     adj = np.zeros((b, lmax, lmax), dtype=np.float32)
     for i, edges in enumerate(adjacency):
         if edges is None:
             continue
-        for e in edges:
-            s, d = (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
-            if s < lmax and d < lmax:
-                adj[i, s, d] = 1.0
+        pairs = [
+            (e["src"], e["dst"]) if isinstance(e, dict) else (e[0], e[1])
+            for e in edges
+        ]
+        adj[i] = densify(pairs, lmax)
     return adj
 
 
@@ -526,7 +538,12 @@ def gat_encode(
             scores -= scores.max(axis=-1, keepdims=True)
             e = np.exp(scores)
             denom = e.sum(axis=-1, keepdims=True)
-            att = np.where(denom > 1e-30, e / np.maximum(denom, 1e-30), 0.0)
+            att = e / denom
+            # a node with NO adjacency edges (outside the pruned SDP) must
+            # output 0 — after max-subtraction its all-masked row becomes
+            # uniform (all-zero scores), so the guard must key on the MASK,
+            # not the denominator (which is always >= 1 post-subtraction)
+            att = np.where(att_mask.any(axis=-1, keepdims=True), att, 0.0)
             out[:, :, sl] = att @ ph
         h = np.where(out > 0, out, 0.2 * out)                        # leaky_relu
         h *= pos_mask[:, :, None]

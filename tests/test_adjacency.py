@@ -77,3 +77,43 @@ def test_with_adjacency_spark(spark):
     row = out.where(out["id"] == "e7798fb926b9403cfcd2").collect()[0]
     got = sorted((e["src"], e["dst"]) for e in row["adjacency"])
     assert got == sorted(PRUNED_37)
+
+
+def test_sdp_forest_without_common_ancestor_keeps_both_paths():
+    """Multi-root/fragment parses (or cycle-truncated chains) can leave the
+    two spans with NO common ancestor — must keep both ancestor paths, not
+    crash the Arrow task with StopIteration."""
+    from relex_spark.graph.adjacency import sdp_kept_nodes
+
+    # two roots: token 0 is its own root, token 2 is a second root with
+    # child token 1... dep_heads are 1-based with 0 = root
+    dep_heads = [0, 3, 0]
+    kept, lca = sdp_kept_nodes(dep_heads, 3, (0, 0), (1, 1), prune=0)
+    assert 0 in kept and 1 in kept
+    assert lca in kept
+
+
+def test_zero_token_rows_defined_for_all_encoders(spark):
+    """Empty-text candidates (predict_json on whitespace input) must yield
+    finite scores on EVERY encoder, not NaN from -inf max pools."""
+    import math
+
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+
+    w = KGPipelineConfig().resolved_weights()
+    wbc = broadcast_weights(spark, w)
+    rows = [("empty", [], 0, 0, 0, 0, [])]
+    cands = spark.createDataFrame(
+        rows,
+        "id string, tokens array<string>, head_start int, head_end int, "
+        "tail_start int, tail_end int, "
+        "adjacency array<struct<src:int,dst:int>>",
+    )
+    for encoder in ("cnn", "boe_sum", "bilstm", "attention", "gcn", "gat"):
+        out = score_candidates(
+            cands, wbc, keep_columns=["id"], encoder=encoder, with_probs=True
+        ).collect()
+        assert len(out) == 1, encoder
+        assert out[0]["label"] in w.labels, encoder
+        assert all(math.isfinite(p) for p in out[0]["probs"]), encoder

@@ -90,12 +90,16 @@ def test_semeval_official_directionality(spark):
         ("Member-Collection(e1,e2)", "Other"),
     ]
     df = spark.createDataFrame(rows, "gold string, pred string")
-    m = semeval_official_f1(df)
+    m = semeval_official_f1(df, num_classes=2)
     # Cause-Effect: tp=1, fp=1 (direction miss), fn=1 -> P=R=0.5
     # Member-Collection: tp=0, fn=1 -> P=0, R=0
     # macro over {Cause-Effect, Member-Collection}: P=0.25, R=0.25
     assert math.isclose(m["precision"], 0.25, rel_tol=1e-9)
     assert math.isclose(m["recall"], 0.25, rel_tol=1e-9)
+    # official default: absent classes contribute 0 and the denominator is
+    # the fixed 9 (2 observed classes -> scaled by 2/9)
+    m9 = semeval_official_f1(df)
+    assert math.isclose(m9["precision"], 0.25 * 2 / 9, rel_tol=1e-9)
 
 
 def test_semeval_official_headline_is_mean_of_class_f1(spark):
@@ -111,7 +115,7 @@ def test_semeval_official_headline_is_mean_of_class_f1(spark):
         ("Member-Collection(e1,e2)", "Member-Collection(e1,e2)"),
     ]
     df = spark.createDataFrame(rows, "gold string, pred string")
-    m = semeval_official_f1(df)
+    m = semeval_official_f1(df, num_classes=2)
     assert math.isclose(m["precision"], 0.75, rel_tol=1e-9)
     assert math.isclose(m["recall"], (2 / 3 + 1) / 2, rel_tol=1e-9)
     mean_f1 = (0.8 + 2 / 3) / 2

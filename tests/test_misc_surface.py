@@ -293,3 +293,57 @@ def test_merge_rollups_equals_single_pass(spark):
     for k in want:
         for c in ("n", "v", "lo", "hi"):
             assert got[k][c] == want[k][c], (k, c)
+
+
+def test_detect_mentions_rejects_duplicate_surfaces(spark):
+    """An ambiguous-surface gazetteer cannot be a literal map (Spark's
+    mapKeyDedupPolicy=EXCEPTION would kill the job mid-stage) — the
+    literal-map variant must fail at build time pointing to the join
+    variant, which emits every entity per surface."""
+    import datetime as dt
+
+    import pytest
+
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        detect_mentions_join,
+    )
+
+    rows = [("c1", 0, "user", "Washington spoke", None, dt.datetime(2024, 1, 1))]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t = spark.createDataFrame(rows, schema)
+    gaz = [("Washington", "ent:q1", "PER"), ("Washington", "ent:q2", "LOC")]
+    with pytest.raises(ValueError, match="duplicate gazetteer surfaces"):
+        detect_mentions(t, gaz)
+    gdf = spark.createDataFrame(gaz, "surface string, entity_id string, entity_type string")
+    ments = detect_mentions_join(t, gdf).collect()[0]["mentions"]
+    assert {m["entity_id"] for m in ments} == {"ent:q1", "ent:q2"}
+
+
+def test_detect_mentions_join_keeps_tokens_on_no_hit_turns(spark):
+    """A turn with no gazetteer hit must still carry its real tokens
+    through the left join (only the mentions array is []-repaired)."""
+    import datetime as dt
+
+    from relex_spark.operators.candidates import detect_mentions_join
+
+    rows = [
+        ("c1", 0, "user", "no entities here", None, dt.datetime(2024, 1, 1)),
+        ("c1", 1, "user", "the Student spoke", None, dt.datetime(2024, 1, 1)),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t = spark.createDataFrame(rows, schema)
+    gdf = spark.createDataFrame(
+        [("Student", "ent:student", "PER")],
+        "surface string, entity_id string, entity_type string",
+    )
+    out = {r["turn_idx"]: r for r in detect_mentions_join(t, gdf).collect()}
+    assert out[0]["tokens"] == ["no", "entities", "here"]
+    assert out[0]["mentions"] == []
+    assert [m["entity_id"] for m in out[1]["mentions"]] == ["ent:student"]
