@@ -236,3 +236,73 @@ def oracle_predict_attention(
 
     enc = [max(h[i][o] for i in range(length)) for o in range(d)]
     return _softmax_label(w, enc, w.extra["attn_ff_w"], w.extra["attn_ff_b"])
+
+
+def oracle_predict_gat(
+    w: ModelWeights,
+    tokens: list[str],
+    head: tuple[int, int],
+    tail: tuple[int, int],
+    edges: list[tuple[int, int]],
+) -> tuple[str, list[float]]:
+    """M13 path: GAT layers (per head: additive scores w1·xi + w2·xj masked
+    to adjacency, softmax, weighted sum; concat heads; leaky_relu(0.2)) +
+    3-scope max pooling + linear head — per-row loops, no numpy batching.
+    A node with no adjacency edges outputs 0 (gat.py's masked softmax over
+    an empty neighborhood)."""
+    rows = _feature_rows(w, tokens, head, tail)
+    length = len(rows)
+    adj = [[False] * length for _ in range(length)]
+    for s, d in edges:
+        if s < length and d < length:
+            adj[s][d] = True
+
+    num_heads = w.extra["gat_heads"]
+    h = rows
+    for layer in w.extra["gat_layers"]:
+        wl = layer["w"]
+        din, hidden = wl.shape
+        dh = hidden // num_heads
+        proj = [
+            [sum(h[i][k] * float(wl[k, o]) for k in range(din)) for o in range(hidden)]
+            for i in range(length)
+        ]
+        out = [[0.0] * hidden for _ in range(length)]
+        for hd in range(num_heads):
+            lo = hd * dh
+            a1, a2 = layer["a1"][hd], layer["a2"][hd]
+            s1 = [
+                sum(proj[i][lo + t] * float(a1[t]) for t in range(dh))
+                for i in range(length)
+            ]
+            s2 = [
+                sum(proj[j][lo + t] * float(a2[t]) for t in range(dh))
+                for j in range(length)
+            ]
+            for i in range(length):
+                nbrs = [j for j in range(length) if adj[i][j]]
+                if not nbrs:
+                    continue  # isolated node: this head's slice stays 0
+                scores = [s1[i] + s2[j] for j in nbrs]
+                m = max(scores)
+                exps = [math.exp(s - m) for s in scores]
+                tot = sum(exps)
+                att = [e / tot for e in exps]
+                for t in range(dh):
+                    out[i][lo + t] = sum(
+                        att[k] * proj[j][lo + t] for k, j in enumerate(nbrs)
+                    )
+        h = [
+            [v if v > 0 else 0.2 * v for v in out[i]]
+            for i in range(length)
+        ]
+
+    def pool_max(lo: int, hi: int) -> list[float]:
+        return [max(h[i][o] for i in range(lo, hi + 1)) for o in range(len(h[0]))]
+
+    enc = (
+        pool_max(0, length - 1)
+        + pool_max(head[0], min(head[1], length - 1))
+        + pool_max(tail[0], min(tail[1], length - 1))
+    )
+    return _softmax_label(w, enc, w.extra["gat_ff_w"], w.extra["gat_ff_b"])

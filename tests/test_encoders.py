@@ -108,3 +108,48 @@ def test_attention_matches_per_row_oracle(weights):
         )
         assert weights.labels[argmax[row]] == label, i
         assert np.allclose(probs[row], oprobs, atol=1e-4), i
+
+
+def test_gat_matches_per_row_oracle(spark, weights):
+    """M13 kernel vs the independent per-row pure-Python GAT oracle on the
+    TACRED fixture's pruned adjacency — including SDP-isolated nodes,
+    which must output 0 (the isolated-node uniform-attention defect this
+    parity would have caught)."""
+    import numpy as np
+
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.scoring.scorer import broadcast_weights, score_candidates
+    from relex_spark.sources.readers import read_tacred_json, tacred_to_candidates
+    from tests.oracle_model import oracle_predict_gat
+
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "relex_spark", "data", "tacred_fixture.json",
+    )
+    cands = with_adjacency(
+        tacred_to_candidates(read_tacred_json(spark, fixture), max_len=100),
+        prune=1,
+        max_len=100,
+    )
+    wbc = broadcast_weights(spark, weights)
+    got = {
+        r["id"]: r
+        for r in score_candidates(
+            cands, wbc, keep_columns=["id"], encoder="gat", with_probs=True
+        ).collect()
+    }
+    rows = cands.collect()
+    assert rows
+    for r in rows:
+        edges = [(e["src"], e["dst"]) for e in r["adjacency"]]
+        label, probs = oracle_predict_gat(
+            weights,
+            list(r["tokens"]),
+            (r["head_start"], r["head_end"]),
+            (r["tail_start"], r["tail_end"]),
+            edges,
+        )
+        assert np.allclose(got[r["id"]]["probs"], probs, atol=1e-4), r["id"]
+        assert got[r["id"]]["label"] == label, r["id"]
