@@ -2786,3 +2786,37 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "suppkey",
         )
     )
+
+
+@register(
+    "q_cube_events",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(user_id % 4 AS STRING), '<all>') AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 4 AS STRING))
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^2 grouping sets in one pass — Spark expands
+    to a single shuffle with a grouping-id column, no per-set rescan),
+    completing the rollup/cube/grouping-sets family next to q_rollup."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 4).cast("string")
+    return (
+        ev.cube(F.col("event_type"), bucket.alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("sum_value_u6"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("<all>")).alias("user_bucket"),
+            "n",
+            "sum_value_u6",
+        )
+    )

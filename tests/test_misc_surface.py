@@ -347,3 +347,36 @@ def test_detect_mentions_join_keeps_tokens_on_no_hit_turns(spark):
     assert out[0]["tokens"] == ["no", "entities", "here"]
     assert out[0]["mentions"] == []
     assert [m["entity_id"] for m in out[1]["mentions"]] == ["ent:student"]
+
+
+def test_mention_detection_variants_agree_at_corpus_scale(spark):
+    """The literal-map and broadcast-join mention detectors must emit
+    identical mention sets over the synthetic corpus (same gazetteer, no
+    ambiguous surfaces) — the documented interchangeability contract."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        detect_mentions_join,
+    )
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        gazetteer_df,
+        synthesize_transcripts,
+    )
+
+    t = synthesize_transcripts(spark, n_convs=50).cache()
+    rows = fixture_gazetteer_rows()
+    max_n = max(len(s.split(" ")) for s, _, _ in rows)
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            ms = tuple(
+                (m["start"], m["end"], m["surface"], m["entity_id"], m["entity_type"])
+                for m in r["mentions"]
+            )
+            out[(r["conv_id"], r["turn_idx"])] = ms
+        return out
+
+    a = canon(detect_mentions(t, rows, keep_text=False))
+    b = canon(detect_mentions_join(t, gazetteer_df(spark), max_phrase_len=max_n))
+    assert a == b and any(v for v in a.values())
