@@ -380,3 +380,42 @@ def test_mention_detection_variants_agree_at_corpus_scale(spark):
     a = canon(detect_mentions(t, rows, keep_text=False))
     b = canon(detect_mentions_join(t, gazetteer_df(spark), max_phrase_len=max_n))
     assert a == b and any(v for v in a.values())
+
+
+def test_merge_rollups_is_associative_and_order_insensitive(spark):
+    """Monoid property behind incremental materialization: merging slices
+    in any grouping/order equals the single-pass rollup — (A+B)+C, A+(B+C),
+    and (C+A)+B all agree."""
+    from pyspark.sql import functions as F
+
+    from relex_spark.operators.incremental import merge_rollups
+
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i, float(i * 7 % 11)) for i in range(30)],
+        ["k", "seq", "v"],
+    )
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("v"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+        )
+
+    a = rollup(df.where(F.col("seq") < 10))
+    b = rollup(df.where((F.col("seq") >= 10) & (F.col("seq") < 20)))
+    c = rollup(df.where(F.col("seq") >= 20))
+    m = lambda x, y: merge_rollups(
+        x, y, keys=("k",), sum_cols=("n", "v"), min_cols=("lo",), max_cols=("hi",)
+    )
+
+    def canon(d):
+        return sorted(
+            (r["k"], r["n"], round(r["v"], 9), r["lo"], r["hi"]) for r in d.collect()
+        )
+
+    want = canon(rollup(df))
+    assert canon(m(m(a, b), c)) == want
+    assert canon(m(a, m(b, c))) == want
+    assert canon(m(m(c, a), b)) == want
