@@ -2820,3 +2820,57 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_u6",
         )
     )
+
+
+@register(
+    "x_turn_edit_distance",
+    """
+    WITH tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx,
+               text
+        FROM documents
+    ),
+    w AS (
+        SELECT conv_id, turn_idx, text,
+               lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        FROM tr
+    )
+    SELECT conv_id, turn_idx,
+           CAST(levenshtein(text, prev) AS INT) AS edit_distance,
+           CAST(floor(CAST(levenshtein(text, prev) AS DOUBLE)
+                 / greatest(length(text), length(prev), 1)
+                 * 1000000 + 0.5) AS BIGINT) AS edit_ratio_u6
+    FROM w WHERE prev IS NOT NULL
+    """,
+)
+def x_turn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation analytics: per turn, Levenshtein distance (and
+    length-normalized ratio) to the previous turn of the same
+    conversation — near-identical consecutive turns are the retry/repeat
+    signal a transcript-curation pipeline filters on. One window (lag)
+    partitioned by conv_id + the JVM built-in levenshtein; no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 40).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 40.0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = tr.withColumn("prev", F.lag("text").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    dist = F.levenshtein("text", "prev")
+    denom = F.greatest(F.length("text"), F.length("prev"), F.lit(1)).cast(
+        "double"
+    )
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        dist.cast("int").alias("edit_distance"),
+        F.floor(dist.cast("double") / denom * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("edit_ratio_u6"),
+    )
