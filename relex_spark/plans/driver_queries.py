@@ -2874,3 +2874,50 @@ def x_turn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("edit_ratio_u6"),
     )
+
+
+@register(
+    "x_role_transitions",
+    """
+    WITH tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+                    WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+        FROM documents
+    ),
+    w AS (
+        SELECT conv_id, role,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        FROM tr
+    )
+    SELECT prev AS from_role, role AS to_role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w WHERE prev IS NOT NULL
+    GROUP BY prev, role
+    """,
+)
+def x_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation analytics: role-transition (Markov) counts — the
+    user→assistant→tool structure check a transcript-ingest pipeline runs
+    to catch mis-ordered or truncated conversations. Lag window per
+    conversation + one aggregated count (map-side combined)."""
+    docs = _t(spark, sf_dir, "documents")
+    role = (
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+    )
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 40).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 40.0).cast("int").alias("turn_idx"),
+        role.alias("role"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = tr.withColumn("prev", F.lag("role").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return d.groupBy(
+        F.col("prev").alias("from_role"), F.col("role").alias("to_role")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
