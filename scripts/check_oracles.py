@@ -98,6 +98,13 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(c.lower() for c in scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+        # type-width drift (tests/test_oracle_widths.py is the full gate;
+        # flag the classic killer here too so ad-hoc runs catch it):
+        # DuckDB HUGEINT from an uncast SUM() hash-mismatches in the
+        # driver even though the value comparator below normalizes it
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) in ("HUGEINT", "UHUGEINT"):
+                problems.append(f"column {c} is {t} (cast the oracle to BIGINT)")
         if not problems:
             a = canon_rows([c.lower() for c in scols], srows)
             b = canon_rows(dcols, drows)
