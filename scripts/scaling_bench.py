@@ -264,9 +264,13 @@ Config: Spark {any_r['spark']}, AQE on (coalesce + skew join), Arrow batch
 Reproduce: `python3 scripts/scaling_bench.py` (env RELEX_SCALING_CONVS
 scales the corpus; RELEX_SCALING_LEVELS sets the parallelism levels).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    if os.environ.get("RELEX_SCALING_NO_REPORT"):
+        # smoke runs at toy sizes must not overwrite the published evidence
+        print("RELEX_SCALING_NO_REPORT set — report not written", file=sys.stderr)
+    else:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+        print("wrote BENCH/BASELINE.md", file=sys.stderr)
     return 0
 
 
