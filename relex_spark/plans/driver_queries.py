@@ -1725,8 +1725,9 @@ _NS_WEIGHTS = None
 
 
 def _ns_weights():
-    """M1 weights with ner/pos namespace embeddings over the TACRED fixture
-    vocab (memoized: the seeded build is driver-side serial cost)."""
+    """M1 weights with ner/pos/dep namespace embeddings over the TACRED
+    fixture vocab — the full namespace set the reference's TACRED configs
+    concatenate (memoized: the seeded build is driver-side serial cost)."""
     global _NS_WEIGHTS
     if _NS_WEIGHTS is None:
         import json
@@ -1738,8 +1739,10 @@ def _ns_weights():
         toks = sorted({t.lower() for ex in data for t in ex["token"]})
         ner = sorted({t for ex in data for t in ex["stanford_ner"]})
         pos = sorted({t for ex in data for t in ex["stanford_pos"]})
+        dep = sorted({t for ex in data for t in ex["stanford_deprel"]})
         _NS_WEIGHTS = build_fixture_weights(
-            toks, namespaces={"ner": (ner, 8), "pos": (pos, 8)}
+            toks,
+            namespaces={"ner": (ner, 8), "pos": (pos, 8), "dep": (dep, 8)},
         )
     return _NS_WEIGHTS
 
@@ -1749,9 +1752,9 @@ def _ns_weights():
     _golden_oracle(
         _SCORED_COLS,
         [
-            ("e779865fb96bbbcc4ca4", "Member-Collection(e1,e2)", 264620),
-            ("e7798ae9c0adbcdc81e7", "Member-Collection(e1,e2)", 217903),
-            ("e7798fb926b9403cfcd2", "Member-Collection(e1,e2)", 243591),
+            ("e779865fb96bbbcc4ca4", "Entity-Destination(e2,e1)", 226514),
+            ("e7798ae9c0adbcdc81e7", "Entity-Destination(e2,e1)", 221489),
+            ("e7798fb926b9403cfcd2", "Entity-Destination(e2,e1)", 277693),
         ],
     ),
 )

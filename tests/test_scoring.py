@@ -196,7 +196,7 @@ def test_multi_namespace_scoring_matches_oracle(spark):
     from tests.oracle_model import oracle_predict
 
     w = _ns_weights()
-    assert w.ns_dims == 16 and w.d_in == 32 + 16 + 16 + 16
+    assert w.ns_dims == 24 and w.d_in == 32 + 24 + 16 + 16
     cands = tacred_to_candidates(
         read_tacred_json(spark, "relex_spark/data/tacred_fixture.json"), max_len=100
     )
@@ -207,7 +207,8 @@ def test_multi_namespace_scoring_matches_oracle(spark):
     got = {r["id"]: r for r in scored.collect()}
 
     rows = cands.select(
-        "id", "tokens", "head_start", "head_end", "tail_start", "tail_end", "ner", "pos"
+        "id", "tokens", "head_start", "head_end", "tail_start", "tail_end",
+        "ner", "pos", "dep",
     ).collect()
     assert len(rows) == 3
     for r in rows:
@@ -216,7 +217,11 @@ def test_multi_namespace_scoring_matches_oracle(spark):
             list(r["tokens"]),
             (r["head_start"], r["head_end"]),
             (r["tail_start"], r["tail_end"]),
-            ns_tags={"ner": list(r["ner"]), "pos": list(r["pos"])},
+            ns_tags={
+                "ner": list(r["ner"]),
+                "pos": list(r["pos"]),
+                "dep": list(r["dep"]),
+            },
         )
         assert got[r["id"]]["label"] == label, r["id"]
         assert np.allclose(got[r["id"]]["probs"], probs, atol=1e-4), r["id"]
