@@ -2924,3 +2924,49 @@ def x_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         F.col("prev").alias("from_role"), F.col("role").alias("to_role")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def _phrases_oracle(n_merges: int = 5) -> str:
+    """Unrolled word2phrase merge loop: per iteration, the top adjacent
+    pair (count desc, pair asc, min_count 2) and the padded double-replace
+    rewrite — the same pure-SQL semantics the engine uses."""
+    big = (
+        "unnest(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),"
+        " i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||"
+        " regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS pair"
+    )
+    sql = "WITH d1 AS (SELECT text FROM documents)"
+    selects = []
+    for k in range(1, n_merges + 1):
+        sql += f""",
+    m{k} AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT {big} FROM d{k})
+        GROUP BY pair HAVING COUNT(*) >= 2
+        ORDER BY n DESC, pair ASC LIMIT 1
+    )"""
+        if k < n_merges:
+            pat = f"' ' || (SELECT pair FROM m{k}) || ' '"
+            rep = f"' ' || (SELECT replace(pair, ' ', '_') FROM m{k}) || ' '"
+            sql += f""",
+    d{k + 1} AS (
+        SELECT trim(replace(replace(' ' || text || ' ', {pat}, {rep}), {pat}, {rep})) AS text
+        FROM d{k}
+    )"""
+        selects.append(f"SELECT {k} AS rank, pair, n FROM m{k}")
+    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("x_learn_phrases", _phrases_oracle(5))
+def x_learn_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus phrase mining (word2phrase / first-stage tokenizer training):
+    five most-frequent-adjacent-pair merges learned iteratively, each
+    rewrite applied before the next count — driver-loop of aggregations,
+    rewrite as a pure-SQL padded double-replace identical in both engines."""
+    from relex_spark.operators.phrases import learn_phrases
+
+    merges = learn_phrases(_t(spark, sf_dir, "documents"), n_merges=5)
+    return spark.createDataFrame(
+        [(m["rank"], m["pair"], m["n"]) for m in merges],
+        "rank int, pair string, n bigint",
+    )
