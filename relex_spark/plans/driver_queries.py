@@ -2970,3 +2970,78 @@ def x_learn_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["pair"], m["n"]) for m in merges],
         "rank int, pair string, n bigint",
     )
+
+
+@register(
+    "text_tfidf_keywords",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df) AS tfidf
+        FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term,
+               CAST(floor(tfidf * 1000000 + 0.5) AS BIGINT) AS tfidf_u6,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf_u6
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. Term and
+    document frequencies are two-level hash aggregates (map-side combined);
+    idf join is term-keyed (df table is aggregated, AQE broadcasts it when
+    small); top-k is a per-doc rank window — parallelism is |docs|, no
+    global sort. Ties break lexicographically (deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", split_ws(F.col("text")).alias("toks"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.floor(F.col("tfidf") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("tfidf_u6"),
+        )
+    )
