@@ -357,10 +357,15 @@ def keep_best_per_cluster(
             "cluster"
         ),
     )
-    # max of (quality, -id): highest quality wins, ties -> smallest id
+    # max of (quality, -id): highest quality wins, ties -> smallest id.
+    # NULL quality is coalesced to -inf so it sorts below every real score
+    # (max_by skips rows whose ordering struct is NULL — without the
+    # coalesce an all-NULL-quality cluster would yield a NULL winner and
+    # mixed clusters would silently exclude NULL-quality rows).
+    q = F.coalesce(F.col(quality_col).cast("double"), F.lit(float("-inf")))
     winners = joined.groupBy("cluster").agg(
         F.max_by(
-            id_col, F.struct(F.col(quality_col), (-F.col(id_col)).alias("nid"))
+            id_col, F.struct(q.alias("q"), (-F.col(id_col)).alias("nid"))
         ).alias("__keep_id")
     )
     return joined.join(winners, "cluster").select(
@@ -375,17 +380,20 @@ def lsh_verified_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification join — the
     near-dup pipeline core shared by dedup_lsh_verified / clustering /
     representative selection. Shuffle is proportional to candidate pairs
     only. Returns (id_a, id_b, jaccard DOUBLE raw — callers round/filter).
     """
-    cands = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands)
+    cands = minhash_lsh_candidates(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, bands=bands
+    )
     # materialized once: both verify joins read the same shingle partitions
     # instead of re-running the shingle build per side
     sh = (
-        shingled_docs(docs)
+        shingled_docs(docs, text_col=text_col)
         .select(F.col(id_col), F.col("sh"))
         .localCheckpoint(eager=False)
     )

@@ -47,7 +47,14 @@ def evaluate_candidates(
     else:
         raise ValueError(dataset)
 
-    macro = f1_overall(f1_metrics(f1_counts(joined, "gold", "pred")), "macro")
+    # Macro denominator = the FULL model label vocabulary (reference
+    # F1Measure seeds counters for every vocab label, f1_measure.py:64-83),
+    # so slices missing a label still divide by the vocab size.
+    macro = f1_overall(
+        f1_metrics(f1_counts(joined, "gold", "pred")),
+        "macro",
+        labels=list(weights_bc.value.labels),
+    )
     return {
         "precision": headline["precision"],
         "recall": headline["recall"],

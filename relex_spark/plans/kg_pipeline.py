@@ -105,17 +105,27 @@ def score_key(encoder: str, ns_names: list[str] | None = None):
     for multi-namespace (M1) weights — two candidates with equal tokens
     but different ner/pos tags must NOT collapse to one score.
     """
+    # Every key part is NULL-coalesced to a sentinel that cannot collide
+    # with real data (concat_ws silently DROPS null parts, which would
+    # collapse a row with a NULL column onto the key of a row genuinely
+    # missing that part — two different scoring inputs, one score).
+    null_s = F.lit("\x02null")
+
+    def arr_key(c: str) -> F.Column:
+        # concat_ws maps both NULL array and [] to "" — keep them distinct.
+        return F.when(F.col(c).isNull(), null_s).otherwise(F.concat_ws(" ", c))
+
     feat = ["tokens", "head_start", "head_end", "tail_start", "tail_end"]
     key_parts = [
-        F.concat_ws(" ", "tokens"),
-        *[F.col(c).cast("string") for c in feat[1:]],
+        arr_key("tokens"),
+        *[F.coalesce(F.col(c).cast("string"), null_s) for c in feat[1:]],
     ]
     if encoder in ("gcn", "gat"):
         feat.append("adjacency")
-        key_parts.append(F.md5(F.to_json("adjacency")))
+        key_parts.append(F.coalesce(F.md5(F.to_json("adjacency")), null_s))
     for ns in ns_names or []:
         feat.append(ns)
-        key_parts.append(F.concat_ws(" ", ns))
+        key_parts.append(arr_key(ns))
     return feat, F.md5(F.concat_ws("\x01", *key_parts))
 
 
