@@ -281,6 +281,153 @@ def simhash16(text: Column) -> Column:
     )
 
 
+def simhash_band_values(
+    text: Column, bits: int = 64, band_bits: int = 8
+) -> Column:
+    """Production-width SimHash as an ARRAY<BIGINT> of band values.
+
+    Per bit i: sign of the per-token ±1 vote (bit i of the token hash set →
+    +1 else −1), bit set when the vote sum is positive — standard SimHash.
+    Instead of packing the signature into one integer (bit 63 would
+    overflow signed BIGINT and cap the width), the signature is emitted as
+    ``bits / band_bits`` band values, which is exactly the shape the LSH
+    band join consumes and generalizes to any width. Hamming distance
+    between two signatures is the sum of per-band ``bit_count(xor)``.
+
+    One aggregate pass over the tokens; ≤2 md5 towers per token (each
+    portable_hash64 yields 60 usable bits, so 64-bit signatures draw bits
+    60..63 from a salted second hash). Pure JVM expressions.
+    """
+    if bits % band_bits != 0:
+        raise ValueError("bits must be a multiple of band_bits")
+    if bits > 120:
+        raise ValueError("bits > 120 needs a third hash; unsupported")
+    toks = split_ws(text)
+    h0 = F.transform(toks, lambda t: portable_hash64(t))
+    # bit spec: which hash (k) and which bitmask (pw) backs signature bit i
+    spec = [(i // 60, 2 ** (i % 60)) for i in range(bits)]
+    bitspec = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                F.lit(pw).cast("bigint").alias("pw"),
+            )
+            for k, pw in spec
+        ]
+    )
+    zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
+    if bits <= 60:
+        votes = F.aggregate(
+            h0,
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                bitspec,
+                lambda v, s: v
+                + F.when(h.bitwiseAND(s["pw"]) != 0, 1).otherwise(-1),
+            ),
+        )
+    else:
+        h1 = F.transform(
+            toks, lambda t: portable_hash64(F.concat(F.lit("s1\x01"), t))
+        )
+        zipped = F.zip_with(
+            h0, h1, lambda a, b: F.struct(a.alias("h0"), b.alias("h1"))
+        )
+        votes = F.aggregate(
+            zipped,
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                bitspec,
+                lambda v, s: v
+                + F.when(
+                    F.when(s["k"] == 0, h["h0"])
+                    .otherwise(h["h1"])
+                    .bitwiseAND(s["pw"])
+                    != 0,
+                    1,
+                ).otherwise(-1),
+            ),
+        )
+    return votes
+
+
+def _bands_from_votes(votes_col: Column, bits: int, band_bits: int) -> Column:
+    n_bands = bits // band_bits
+    def band(b: int) -> Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(band_bits):
+            out = out + F.when(
+                F.element_at(votes_col, b * band_bits + j + 1) > 0,
+                F.lit(2**j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+    return F.array(*[band(b) for b in range(n_bands)])
+
+
+def simhash_candidate_pairs_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Production-width SimHash near-dup candidates (default 64-bit
+    signature, 8-bit bands): by pigeonhole, any pair within Hamming
+    distance ``n_bands - 1`` agrees on at least one band, so the
+    (band_no, band_value) equi-join finds every such pair — recall-complete
+    for ``max_hamming <= bits/band_bits - 1`` — while the wide signature
+    keeps bucket collision density low on homogeneous corpora (the defect
+    the 16-bit demo width documents). Survivors verified exactly with the
+    summed per-band bit_count(xor). Shuffle ∝ band buckets, never n².
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    assert max_hamming <= bits // band_bits - 1, "pigeonhole recall broken"
+    votes = simhash_band_values(F.col(text_col), bits, band_bits)
+    # votes materialize in their own projection (non-cheap multi-referenced
+    # alias blocks CollapseProject, so the aggregate tower runs ONCE), then
+    # the band projection reads the array 'bits' times cheaply.
+    sigs = (
+        docs.select(F.col(id_col).alias("id"), votes.alias("__votes"))
+        .select("id", _bands_from_votes(F.col("__votes"), bits, band_bits).alias("bands"))
+        .localCheckpoint(eager=False)
+    )
+    exploded = sigs.select(
+        "id", F.posexplode("bands").alias("band", "val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("bands").alias("bands_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("bands").alias("bands_b"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bands_a"),
+            F.col("bands_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -420,9 +567,10 @@ def simhash_candidate_pairs(
     every such pair — shuffle proportional to band buckets, never n².
     Survivors are verified exactly with bit_count(xor) <= max_hamming.
 
-    16 bits is the oracle-portable demo width; at production scale widen
-    the signature (64-bit, 8-bit bands) or candidate density explodes on
-    homogeneous corpora — the band-join/verify SHAPE is width-independent.
+    16 bits is the oracle-portable demo width (the DuckDB oracle unrolls
+    one CASE per bit); at production scale use simhash_candidate_pairs_wide
+    (64-bit signature, 8-bit bands — same band-join/verify SHAPE) or
+    candidate density explodes on homogeneous corpora.
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """

@@ -69,3 +69,64 @@ def learn_phrases(
             merge_pair_in_text(F.col("text"), pair).alias("text")
         ).localCheckpoint(eager=False)
     return merges
+
+
+def learn_phrases_batched(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    min_count: int = 2,
+    batch_size: int = 8,
+) -> list[Row]:
+    """Tokenizer-scale variant of ``learn_phrases``: per corpus pass, merge
+    up to ``batch_size`` TOKEN-DISJOINT pairs from the frequency top list,
+    so learning M merges costs O(M / batch_size) corpus passes instead of
+    O(M) — the driver loop stops dominating at the 10^3-10^4 merges a real
+    tokenizer build needs.
+
+    Token-disjointness is what makes the batch safe: merging 'a b' can only
+    create/destroy bigrams that contain 'a', 'b', or the new token 'a_b',
+    so the counts of pairs sharing no token with it are invariant — each
+    accepted pair's published count is exactly its merge-time count, and
+    when the top pairs are mutually disjoint the result is IDENTICAL to the
+    sequential loop (pinned by test). Pairs that interact with an earlier
+    acceptance are deferred to the next pass (where sequential order may
+    differ from the one-at-a-time loop — the standard batched-merge
+    trade-off, same as batched BPE trainers).
+    """
+    cur = docs.select(F.col(text_col).alias("text"))
+    merges: list[Row] = []
+    while len(merges) < n_merges:
+        top = (
+            cur.select(F.explode(word_bigrams(split_ws(F.col("text")))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(max(batch_size * 4, 8))
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        accepted = []
+        for r in top:
+            toks = r["pair"].split(" ")
+            if any(t in used for t in toks):
+                continue
+            accepted.append(r)
+            used.update(toks)
+            used.add(r["pair"].replace(" ", "_"))
+            if (
+                len(accepted) >= batch_size
+                or len(merges) + len(accepted) >= n_merges
+            ):
+                break
+        rewritten = F.col("text")
+        for r in accepted:
+            merges.append(
+                Row(rank=len(merges) + 1, pair=r["pair"], n=r["n"])
+            )
+            rewritten = merge_pair_in_text(rewritten, r["pair"])
+        cur = cur.select(rewritten.alias("text")).localCheckpoint(eager=False)
+    return merges

@@ -55,10 +55,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
+    from relex_spark.plans import driver_queries as dq
     from relex_spark.session import get_spark
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # BOTH tiers: the 50 driver-facing queries (the per-round CORRECTNESS
+    # window) plus the fine-grained EXTRA registry consolidated out of it.
+    queries = dict(entry_mod.queries())
+    oracles = dict(entry_mod.oracle_sql())
+    tier = {n: "driver" for n in queries}
+    queries.update(dq.EXTRA_QUERIES)
+    oracles.update(dq.EXTRA_ORACLES)
+    for n in dq.EXTRA_QUERIES:
+        tier[n] = "extra"
 
     con = duckdb.connect()
     for t in TABLES:
@@ -116,9 +124,9 @@ def main() -> int:
                 problems.append("values differ" + detail)
         if problems:
             failures.append(name)
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name} [{tier[name]}]: " + "; ".join(problems))
         else:
-            print(f"  ok {name}: {len(srows)} rows match")
+            print(f"  ok {name} [{tier[name]}]: {len(srows)} rows match")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

@@ -31,9 +31,10 @@ TYPE_MAP = {
 
 def test_every_oracle_matches_spark_column_types(spark):
     import __spark_entry__ as entry_mod
+    from relex_spark.plans import driver_queries as dq
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    queries = {**entry_mod.queries(), **dq.EXTRA_QUERIES}
+    oracles = {**entry_mod.oracle_sql(), **dq.EXTRA_ORACLES}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -77,8 +78,11 @@ def test_no_query_emits_complex_typed_columns(spark):
     import __spark_entry__ as entry_mod
     from pyspark.sql import types as T
 
+    from relex_spark.plans import driver_queries as dq
+
     offenders = []
-    for name, fn in sorted(entry_mod.queries().items()):
+    registry = {**entry_mod.queries(), **dq.EXTRA_QUERIES}
+    for name, fn in sorted(registry.items()):
         sdf = fn(spark, SF_DIR)  # lazy
         for f in sdf.schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):

@@ -52,3 +52,49 @@ def test_learn_phrases_order_and_rewrite_feedback(spark):
         (2, "a_b c", 4),          # counted over the rewritten corpus
         (3, "a_b_c d", 4),
     ]
+
+
+def test_learn_phrases_batched_equals_sequential_on_disjoint_pairs(spark):
+    """When the frequency top list is mutually token-disjoint, one batched
+    pass must produce the IDENTICAL (rank, pair, n) sequence as the
+    one-merge-per-pass loop."""
+    from relex_spark.operators.phrases import learn_phrases, learn_phrases_batched
+
+    rows = []
+    # six disjoint hot pairs with strictly decreasing counts
+    pairs = [("aa", "bb"), ("cc", "dd"), ("ee", "ff"),
+             ("gg", "hh"), ("ii", "jj"), ("kk", "ll")]
+    for i, (a, b) in enumerate(pairs):
+        for k in range(12 - i):
+            rows.append((len(rows), f"x{len(rows)} {a} {b} y{len(rows)}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    seq = [(r["rank"], r["pair"], r["n"]) for r in learn_phrases(docs, n_merges=6)]
+    bat = [
+        (r["rank"], r["pair"], r["n"])
+        for r in learn_phrases_batched(docs, n_merges=6, batch_size=6)
+    ]
+    assert bat == seq
+    assert len(bat) == 6
+
+
+def test_learn_phrases_batched_defers_interacting_pairs(spark):
+    """A pair sharing a token with an earlier acceptance must NOT merge in
+    the same pass (its count would be stale) — it waits for the next pass
+    and is recounted there."""
+    from relex_spark.operators.phrases import learn_phrases_batched
+
+    rows = []
+    for k in range(10):
+        rows.append((k, f"p{k} aa bb q{k}"))
+    for k in range(8):
+        rows.append((100 + k, f"r{k} bb cc s{k}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = learn_phrases_batched(docs, n_merges=2, batch_size=4)
+    got = [(r["rank"], r["pair"]) for r in out]
+    # 'aa bb' (10) accepted; 'bb cc' (8) shares 'bb' -> deferred to pass 2,
+    # where 'bb cc' still exists with its rewritten-corpus count
+    assert got[0] == (1, "aa bb")
+    assert got[1][1] == "bb cc"
+    assert out[1]["n"] == 8

@@ -131,3 +131,110 @@ def test_simhash_pairs_golden(spark):
     }
     ham13 = bin(sigs[1] ^ sigs[3]).count("1")
     assert ((1, 3) in pairs) == (ham13 <= 3)
+
+
+def test_simhash_wide_band_recall_and_hamming(spark):
+    """64-bit/8-band SimHash: the operator's output must equal the
+    brute-force set {(a,b): hamming(sig_a, sig_b) <= 3} — pigeonhole says
+    every such pair shares a band, so the band join may not lose any —
+    with hamming values matching an independent pure-Python recomputation
+    of the signatures from the tokens."""
+    import hashlib
+
+    from relex_spark.operators.dedup import simhash_candidate_pairs_wide
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [(0, base), (1, base)]  # identical -> hamming 0
+    docs += [(2, base + " extra"), (3, base.replace("quick", "slow"))]
+    for i in range(4, 24):  # varied corpus
+        docs.append((i, " ".join(f"tok{i}_{j} word{j % 5}" for j in range(12))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sig_bits(text: str) -> list[int]:
+        toks = text.split()
+        votes = [0] * 64
+        for t in toks:
+            a, b = h60(t), h60("s1\x01" + t)
+            for i in range(64):
+                h, bit = (a, i) if i < 60 else (b, i - 60)
+                votes[i] += 1 if (h >> bit) & 1 else -1
+        return [1 if v > 0 else 0 for v in votes]
+
+    sigs = {d: sig_bits(t) for d, t in docs}
+    expect = {}
+    ids = sorted(sigs)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                ham = sum(p != q for p, q in zip(sigs[x], sigs[y]))
+                if ham <= 3:
+                    expect[(x, y)] = ham
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs_wide(df).collect()
+    }
+    assert got == expect
+    assert got[(0, 1)] == 0  # identical docs always pair
+
+
+def test_simhash_wide_buckets_sparser_than_16bit(spark):
+    """The width upgrade's point: on a homogeneous corpus the 64-bit
+    band buckets must produce no MORE verify candidates than the 16-bit
+    demo width (usually far fewer)."""
+    from pyspark.sql import functions as F
+
+    from relex_spark.operators.dedup import (
+        simhash16,
+        simhash_band_values,
+        _bands_from_votes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common words shared by all docs variant {i} {i % 3}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    def n_candidates(banded):
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    b16 = docs.select(
+        F.col("doc_id").alias("id"), simhash16(F.col("text")).alias("sig")
+    ).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", 4 * b).bitwiseAND(F.lit(15)).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+
+    b64 = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            simhash_band_values(F.col("text"), 64, 8).alias("__votes"),
+        )
+        .select("id", _bands_from_votes(F.col("__votes"), 64, 8).alias("bands"))
+        .select("id", F.posexplode("bands").alias("band", "val"))
+    )
+    assert n_candidates(b64) <= n_candidates(b16)
