@@ -3489,6 +3489,69 @@ def x_streaming_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_canonical_u6(out)
 
 
+def _simhash_wide_oracle(bits: int = 64, band_bits: int = 8, max_ham: int = 3) -> str:
+    """DuckDB twin of simhash_candidate_pairs_wide: same two md5 towers
+    per token (base + 's1\\x01' salt for bits 60+), same sign votes, same
+    band values (cross-engine equality of the band vector is pinned by the
+    v_vocab-style value check through this oracle), same band join +
+    summed per-band bit_count(xor) verify."""
+    h0 = _H64.format(x="t")
+    h1 = _H64.format(x="'s1' || chr(1) || t")
+    votes = ", ".join(
+        "list_sum(list_transform({src}, h -> CASE WHEN (h >> {bit}) % 2 = 1"
+        " THEN 1 ELSE -1 END)) AS v{i}".format(
+            src="hs0" if i < 60 else "hs1", bit=i if i < 60 else i - 60, i=i
+        )
+        for i in range(bits)
+    )
+    n_bands = bits // band_bits
+    band_exprs = []
+    for b in range(n_bands):
+        parts = " + ".join(
+            f"(CASE WHEN v{b * band_bits + j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        band_exprs.append(f"CAST({parts} AS BIGINT) AS band{b}")
+    band_list = "[" + ", ".join(f"band{b}" for b in range(n_bands)) + "]"
+    ham = " + ".join(
+        f"bit_count(xor(x.band{b}, y.band{b}))" for b in range(n_bands)
+    )
+    return rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hh AS (
+        SELECT doc_id,
+               list_transform(toks, t -> {h0}) AS hs0,
+               list_transform(toks, t -> {h1}) AS hs1
+        FROM t
+    ),
+    vv AS (SELECT doc_id, {votes} FROM hh),
+    bb AS (SELECT doc_id AS id, {", ".join(band_exprs)} FROM vv),
+    bands AS (
+        SELECT id, bnd.band AS band, ({band_list})[bnd.band + 1] AS val
+        FROM bb, (SELECT range AS band FROM range(0, {n_bands})) bnd
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, CAST({ham} AS INT) AS hamming
+    FROM cand c JOIN bb x ON x.id = c.id_a JOIN bb y ON y.id = c.id_b
+    WHERE {ham} <= {max_ham}
+    """
+
+
+@register("dedup_simhash_wide", _simhash_wide_oracle())
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash near-dup pairs (64-bit signature, 8-bit
+    bands) — the scale default; the 16-bit dedup_simhash_pairs stays as the
+    band-shape demo. EXTRA tier (the 50-slot driver window carries the
+    16-bit variant); oracle-checked by scripts/check_oracles.py."""
+    from relex_spark.operators.dedup import simhash_candidate_pairs_wide
+
+    return simhash_candidate_pairs_wide(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Tier assembly: QUERIES/ORACLES (driver-facing, exactly 50, all
 # oracle-paired) + EXTRA_QUERIES/EXTRA_ORACLES (fine-grained originals,

@@ -109,3 +109,60 @@ def write_id_label_tsv(df: DataFrame, path: str) -> None:
     """S6: (id, label) TSV sink for scorer parity
     (relex/evaluation/semeval2010_task8_evaluation.py:11-17)."""
     df.select("id", "label").write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg commit branch (feature-flagged: this sandbox ships no Iceberg
+# catalog jars, so the parquet+manifest protocol above is the default).
+#
+# Cluster setup (spark-defaults or --conf):
+#   spark.sql.catalog.<cat>                 org.apache.iceberg.spark.SparkCatalog
+#   spark.sql.catalog.<cat>.type            hadoop           (or hive/rest)
+#   spark.sql.catalog.<cat>.warehouse       s3://bucket/warehouse
+#   spark.jars.packages  org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver>
+# then export RELEX_ICEBERG_CATALOG=<cat> and pass fully-qualified table
+# names (<cat>.<db>.<table>) to write_stage_iceberg. The stage manifest's
+# role is played by the Iceberg snapshot (atomic all-or-nothing commit);
+# the stage marker moves into a table property so resume checks stay
+# one lookup.
+# ---------------------------------------------------------------------------
+
+ICEBERG_CATALOG_ENV = "RELEX_ICEBERG_CATALOG"
+
+
+def iceberg_enabled() -> bool:
+    return bool(os.environ.get(ICEBERG_CATALOG_ENV))
+
+
+def write_stage_iceberg(
+    df: DataFrame,
+    table: str,
+    stage: str,
+    partition_by: list[str] | None = None,
+    lineage: bool = True,
+):
+    """Iceberg twin of ``write_stage``: same contract (atomic commit,
+    per-row lineage columns, stage marker for resume), expressed as a V2
+    ``writeTo(...).createOrReplace()`` — one snapshot, all-or-nothing.
+    Returns the configured writer's result (None from pyspark)."""
+    out = with_lineage(df, stage) if lineage else df
+    writer = (
+        out.writeTo(table)
+        .using("iceberg")
+        .tableProperty("relex.stage", stage)
+        .tableProperty("relex.lineage", "true" if lineage else "false")
+    )
+    if partition_by:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    return writer.createOrReplace()
+
+
+def stage_is_complete_iceberg(spark: SparkSession, table: str, stage: str) -> bool:
+    """Resume check on the Iceberg branch: the table exists and its
+    ``relex.stage`` property matches (set atomically with the snapshot)."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:  # table missing / catalog unreachable
+        return False
+    props = {r["key"]: r["value"] for r in rows}
+    return props.get("relex.stage") == stage

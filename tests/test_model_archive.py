@@ -91,3 +91,57 @@ def test_trained_weights_score_fixture_end_to_end(spark, ref_weights):
         assert np.allclose(got[r["id"]]["probs"], probs, atol=1e-5), r["id"]
         agree += got[r["id"]]["label"] == label
     assert agree == len(rows)  # P/R = 1.0 vs the oracle on real weights
+
+
+def test_archive_weights_through_full_kg_pipeline(spark, ref_weights):
+    """Archive → pipeline → triples: the trained reference parameters are
+    dropped into run_kg_pipeline over a planted-transcript corpus (the
+    north-rule path: synthesize transcripts, detect mentions, generate
+    pairs, preprocess, CNN-score, canonicalize). Label-level P/R vs the
+    independent per-row oracle must be 1.0 on every scored candidate."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.plans.kg_pipeline import (
+        KGPipelineConfig,
+        build_triples,
+        preprocess_candidates,
+        run_kg_pipeline,
+    )
+    from relex_spark.sources.transcripts import synthesize_transcripts
+    from tests.oracle_model import oracle_predict
+
+    config = KGPipelineConfig(weights=ref_weights, max_len=ref_weights.max_len)
+    t = synthesize_transcripts(spark, n_convs=30).cache()
+
+    # features for the oracle: the same pre-scoring chain the pipeline runs
+    feats = preprocess_candidates(
+        generate_candidate_pairs(
+            detect_mentions(t, config.gazetteer_rows, keep_text=False),
+            config.max_pairs_per_turn,
+        ),
+        config.max_len,
+    ).collect()
+    assert len(feats) >= 10, "planted turns must yield candidate pairs"
+
+    scored = {r["id"]: r["label"] for r in build_triples(t, config).collect()}
+    assert set(scored) == {r["id"] for r in feats}
+
+    tp = 0
+    for r in feats:
+        want, _ = oracle_predict(
+            ref_weights,
+            list(r["tokens"]),
+            (r["head_start"], r["head_end"]),
+            (r["tail_start"], r["tail_end"]),
+        )
+        tp += scored[r["id"]] == want
+    # micro P == R == 1.0: every candidate got the oracle's label
+    assert tp == len(feats)
+
+    # and the canonicalization stage consumes those labels end to end
+    triples = run_kg_pipeline(spark, t, config).collect()
+    assert triples
+    assert {tr["pred"] for tr in triples} <= set(scored.values())
+    assert all(tr["support"] >= 1 for tr in triples)

@@ -96,7 +96,16 @@ def test_e5_evaluation_self_consistency(spark):
     perfect = evaluate_candidates(
         cands.drop("label").join(self_gold, "id"), wbc, "semeval2010"
     )
-    assert perfect["macro_f1"] > 0.999
+    # Reference-faithful macro: F1Measure seeds counters for EVERY vocab
+    # label (f1_measure.py:64-83), so perfect predictions on a slice that
+    # observes only k of the n vocab labels score macro_f1 == k/n (each
+    # absent label contributes P=R=0 to the denominator).
+    n_obs = self_gold.select("label").distinct().count()
+    expect = n_obs / len(weights.labels)
+    assert abs(perfect["macro_f1"] - expect) < 1e-6, (
+        perfect["macro_f1"],
+        expect,
+    )
 
     real = evaluate_candidates(cands, wbc, "semeval2010")
     assert 0.0 <= real["f1"] <= 1.0
