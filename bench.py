@@ -156,7 +156,7 @@ def main() -> int:
         return canonicalize_triples(scored, components).count()
 
     n_canon = _canon_job()  # discarded warm run (codegen compile)
-    timings["kg_canonicalize"] = best_of(_canon_job, n=2)
+    timings["kg_canonicalize"] = best_of(_canon_job, n=3)
 
     # Salted variant under the planted Zipf skew (transcripts.py: hot_convs
     # are hot_factor× longer, so their sentences repeat into hot
@@ -166,7 +166,7 @@ def main() -> int:
         return canonicalize_triples(scored, components, salt_buckets=8).count()
 
     _canon_salted_job()  # warm
-    timings["kg_canonicalize_salted"] = best_of(_canon_salted_job, n=2)
+    timings["kg_canonicalize_salted"] = best_of(_canon_salted_job, n=3)
     scored.unpersist()
 
     # transparency for the dedup-before-inference default: how many

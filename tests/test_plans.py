@@ -116,3 +116,21 @@ def test_parquet_filter_pushdown(spark):
     plan = plan_of(q)
     assert "PushedFilters: [" in plan
     assert "GreaterThan(l_quantity" in plan
+
+
+def test_simhash_wide_plan_is_equi_join_no_cartesian(spark):
+    """The 64-bit SimHash candidate join must compile to a hash/sort-merge
+    EQUI-join on (band, value) — never a cartesian/broadcast-nested-loop
+    (the n² shape the banding exists to avoid) — and the single-pass vote
+    aggregate must appear exactly once per signature build (the multi-
+    referenced non-cheap alias must block projection collapse)."""
+    from relex_spark.operators.dedup import simhash_candidate_pairs_wide
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens here {i % 3}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = plan_of(simhash_candidate_pairs_wide(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "SortMergeJoin" in plan
