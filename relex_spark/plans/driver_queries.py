@@ -3541,6 +3541,67 @@ def _simhash_wide_oracle(bits: int = 64, band_bits: int = 8, max_ham: int = 3) -
     """
 
 
+@register(
+    "x_streaming_window_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def x_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation, oracle-checked: the events table is
+    re-ingested as a multi-batch file STREAM (real readStream source,
+    availableNow trigger) through a 5-minute tumbling `window()` aggregate
+    in complete output mode; the final result table must hash-match the
+    batch GROUP BY formulation in DuckDB. Complements
+    x_streaming_canonical_merge (which checks the stateful merge path) —
+    the watermark/late-data semantics are pinned separately in
+    tests/test_streaming.py. EXTRA tier."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="relex_stream_win_")
+    in_dir = os.path.join(base, "in")
+    ev.repartition(12).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sum_value_u6"),
+    )
+    qname = "stream_win_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+            "window_start_epoch"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value_u6",
+    )
+
+
 @register("dedup_simhash_wide", _simhash_wide_oracle())
 def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width SimHash near-dup pairs (64-bit signature, 8-bit
