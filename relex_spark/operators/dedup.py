@@ -281,25 +281,22 @@ def simhash16(text: Column) -> Column:
     )
 
 
-def simhash_band_values(
-    text: Column, bits: int = 64, band_bits: int = 8
-) -> Column:
-    """Production-width SimHash as an ARRAY<BIGINT> of band values.
+def simhash_vote_counts(text: Column, bits: int = 64) -> Column:
+    """Per-bit SimHash VOTE SUMS as an ARRAY<BIGINT>[bits] — the
+    intermediate the banding step consumes, NOT the banded signature.
 
-    Per bit i: sign of the per-token ±1 vote (bit i of the token hash set →
-    +1 else −1), bit set when the vote sum is positive — standard SimHash.
-    Instead of packing the signature into one integer (bit 63 would
-    overflow signed BIGINT and cap the width), the signature is emitted as
-    ``bits / band_bits`` band values, which is exactly the shape the LSH
-    band join consumes and generalizes to any width. Hamming distance
-    between two signatures is the sum of per-band ``bit_count(xor)``.
+    Per bit i: sum over tokens of ±1 (bit i of the token hash set → +1,
+    else −1); the signature bit is 1 where the sum is positive. Callers
+    must materialize this array in its own projection (the non-cheap
+    multi-referenced alias blocks CollapseProject so the aggregate tower
+    runs once) and derive band values with ``_bands_from_votes`` — see
+    simhash_candidate_pairs_wide for the intended composition. Joining on
+    raw vote counts would be meaningless (sums rarely collide).
 
     One aggregate pass over the tokens; ≤2 md5 towers per token (each
     portable_hash64 yields 60 usable bits, so 64-bit signatures draw bits
     60..63 from a salted second hash). Pure JVM expressions.
     """
-    if bits % band_bits != 0:
-        raise ValueError("bits must be a multiple of band_bits")
     if bits > 120:
         raise ValueError("bits > 120 needs a third hash; unsupported")
     toks = split_ws(text)
@@ -354,6 +351,13 @@ def simhash_band_values(
 
 
 def _bands_from_votes(votes_col: Column, bits: int, band_bits: int) -> Column:
+    """Vote sums -> ARRAY<BIGINT>[bits/band_bits] of band values (each the
+    packed signature bits of one band; Hamming distance between two
+    signatures = sum of per-band bit_count(xor)). Reads the votes array
+    ``bits`` times — pair it with a materialized vote column, never inline
+    the aggregate (see simhash_vote_counts)."""
+    if bits % band_bits != 0:
+        raise ValueError("bits must be a multiple of band_bits")
     n_bands = bits // band_bits
     def band(b: int) -> Column:
         out = F.lit(0).cast("bigint")
@@ -386,7 +390,7 @@ def simhash_candidate_pairs_wide(
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
     assert max_hamming <= bits // band_bits - 1, "pigeonhole recall broken"
-    votes = simhash_band_values(F.col(text_col), bits, band_bits)
+    votes = simhash_vote_counts(F.col(text_col), bits)
     # votes materialize in their own projection (non-cheap multi-referenced
     # alias blocks CollapseProject, so the aggregate tower runs ONCE), then
     # the band projection reads the array 'bits' times cheaply.

@@ -1133,8 +1133,11 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # golden over the generated rows in plans/kg_goldens.py — regenerate with
 # that script after any change to weights, gazetteer, transcript
 # derivation, preprocessing, the CNN kernel, or canonicalization. The
-# goldens are pinned to sf0.01 (the driver's correctness scale); at any
-# other sf_dir the rows-only comparison still applies. Everything upstream
+# goldens are pinned to sf0.01 (the driver's correctness scale); the
+# queries are listed in GOLDEN_SF01_QUERIES so harnesses running at any
+# other scale (scripts/check_oracles.py) downgrade them to a rows-only
+# check instead of comparing against the wrong-scale golden.
+# Everything upstream
 # of the CNN kernel is ALSO independently oracle-checked at corpus scale by
 # kg_candidate_pairs / kg_canonical_pairs below (non-golden SQL oracles),
 # and the kernel itself by the numpy-oracle parity tests + the P/R gate.
@@ -3462,31 +3465,45 @@ def x_streaming_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_transcripts,
     )
 
+    import shutil
+
     docs = _t(spark, sf_dir, "documents")
     t = transcripts_from_documents(docs)
     base = tempfile.mkdtemp(prefix="relex_stream_merge_")
-    in_dir = os.path.join(base, "in")
-    # >8 input files with maxFilesPerTrigger=8 => multiple micro-batches,
-    # so the merge path (not just the first-batch write) is exercised.
-    t.repartition(24).write.mode("overwrite").parquet(in_dir)
-    graph_dir = os.path.join(base, "graph")
-    q = run_streaming_canonical_graph(
-        stream_transcripts(spark, in_dir),
-        graph_dir,
-        os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
-    versions = sorted(
-        int(n[1:])
-        for n in os.listdir(graph_dir)
-        if n.startswith("v")
-        and n[1:].isdigit()
-        and stage_is_complete(os.path.join(graph_dir, n), "canonical_graph")
-    )
-    out = read_stage(
-        spark, os.path.join(graph_dir, f"v{versions[-1]}"), drop_lineage=True
-    )
-    return _select_canonical_u6(out)
+    try:
+        in_dir = os.path.join(base, "in")
+        # >8 input files with maxFilesPerTrigger=8 => multiple micro-batches,
+        # so the merge path (not just the first-batch write) is exercised.
+        t.repartition(24).write.mode("overwrite").parquet(in_dir)
+        graph_dir = os.path.join(base, "graph")
+        q = run_streaming_canonical_graph(
+            stream_transcripts(spark, in_dir),
+            graph_dir,
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        versions = sorted(
+            int(n[1:])
+            for n in os.listdir(graph_dir)
+            if n.startswith("v")
+            and n[1:].isdigit()
+            and stage_is_complete(os.path.join(graph_dir, n), "canonical_graph")
+        )
+        if not versions:
+            raise RuntimeError(
+                f"streaming canonical-graph job committed no complete "
+                f"version under {graph_dir} (input rows: {t.count()})"
+            )
+        out = read_stage(
+            spark, os.path.join(graph_dir, f"v{versions[-1]}"), drop_lineage=True
+        )
+        # Pin the result into the session (eager localCheckpoint) so the
+        # corpus copy + checkpoints + versioned stages under the temp dir
+        # can be deleted NOW — without this, every driver snapshot /
+        # oracle sweep leaks a full corpus copy into /tmp.
+        return _select_canonical_u6(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _simhash_wide_oracle(bits: int = 64, band_bits: int = 8, max_ham: int = 3) -> str:
@@ -3565,33 +3582,40 @@ def x_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    import shutil
+
     ev = _t(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="relex_stream_win_")
-    in_dir = os.path.join(base, "in")
-    ev.repartition(12).write.mode("overwrite").parquet(in_dir)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(in_dir)
-    )
-    agg = stream.groupBy(
-        F.window("ts", "5 minutes").alias("w"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("sum_value_u6"),
-    )
-    qname = "stream_win_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        in_dir = os.path.join(base, "in")
+        ev.repartition(12).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(in_dir)
+        )
+        agg = stream.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("sum_value_u6"),
+        )
+        qname = "stream_win_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the result; the corpus copy + checkpoint
+        # under the temp dir must not accumulate across harness runs
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname).select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
             "window_start_epoch"
@@ -3690,6 +3714,16 @@ _missing = [n for n in DRIVER_TIER if n not in _ALL_QUERIES]
 assert not _missing, f"unregistered driver-tier queries: {_missing}"
 _unpaired = [n for n in DRIVER_TIER if n not in _ALL_ORACLES]
 assert not _unpaired, f"driver-tier queries without oracles: {_unpaired}"
+
+# Queries whose oracle is a literal golden generated from the sf0.01
+# corpus: valid ONLY at that scale. The driver's correctness snapshot runs
+# at sf0.01; scripts/check_oracles.py consults this set and falls back to
+# a rows-only check at any other sf_dir.
+GOLDEN_SF01_QUERIES = {
+    "kg_canonical_triples",
+    "kg_scored_candidates",
+    "x_streaming_canonical_merge",
+}
 
 QUERIES: dict[str, QueryFn] = {n: _ALL_QUERIES[n] for n in DRIVER_TIER}
 ORACLES: dict[str, str] = {n: _ALL_ORACLES[n] for n in DRIVER_TIER}

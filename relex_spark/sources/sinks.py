@@ -160,9 +160,15 @@ def write_stage_iceberg(
 def stage_is_complete_iceberg(spark: SparkSession, table: str, stage: str) -> bool:
     """Resume check on the Iceberg branch: the table exists and its
     ``relex.stage`` property matches (set atomically with the snapshot)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    except Exception:  # table missing / catalog unreachable
+    except AnalysisException:
+        # table (or catalog name) not resolvable -> stage genuinely absent.
+        # Anything else (auth failure, catalog outage) PROPAGATES: treating
+        # it as "not done" would silently recompute and replace a
+        # potentially-committed snapshot.
         return False
     props = {r["key"]: r["value"] for r in rows}
     return props.get("relex.stage") == stage

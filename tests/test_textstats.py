@@ -189,7 +189,7 @@ def test_simhash_wide_buckets_sparser_than_16bit(spark):
 
     from relex_spark.operators.dedup import (
         simhash16,
-        simhash_band_values,
+        simhash_vote_counts,
         _bands_from_votes,
     )
 
@@ -232,7 +232,7 @@ def test_simhash_wide_buckets_sparser_than_16bit(spark):
     b64 = (
         docs.select(
             F.col("doc_id").alias("id"),
-            simhash_band_values(F.col("text"), 64, 8).alias("__votes"),
+            simhash_vote_counts(F.col("text"), 64).alias("__votes"),
         )
         .select("id", _bands_from_votes(F.col("__votes"), 64, 8).alias("bands"))
         .select("id", F.posexplode("bands").alias("band", "val"))
