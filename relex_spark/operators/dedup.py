@@ -389,7 +389,14 @@ def simhash_candidate_pairs_wide(
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    assert max_hamming <= bits // band_bits - 1, "pigeonhole recall broken"
+    if max_hamming > bits // band_bits - 1:
+        # ValueError, not assert: under `python -O` an assert vanishes and a
+        # too-large max_hamming would silently return incomplete pairs.
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks pigeonhole recall: with "
+            f"{bits // band_bits} bands of {band_bits} bits the banded join "
+            f"is only recall-complete for max_hamming <= {bits // band_bits - 1}"
+        )
     votes = simhash_vote_counts(F.col(text_col), bits)
     # votes materialize in their own projection (non-cheap multi-referenced
     # alias blocks CollapseProject, so the aggregate tower runs ONCE), then
@@ -512,8 +519,12 @@ def keep_best_per_cluster(
     # NULL quality is coalesced to -inf so it sorts below every real score
     # (max_by skips rows whose ordering struct is NULL — without the
     # coalesce an all-NULL-quality cluster would yield a NULL winner and
-    # mixed clusters would silently exclude NULL-quality rows).
-    q = F.coalesce(F.col(quality_col).cast("double"), F.lit(float("-inf")))
+    # mixed clusters would silently exclude NULL-quality rows). NaN joins
+    # NULL at the bottom: Spark orders NaN ABOVE every real double, so a
+    # NaN-quality row would otherwise beat every genuine score (nanvl after
+    # the double cast, so non-numeric quality types stay supported).
+    qd = F.col(quality_col).cast("double")
+    q = F.coalesce(F.nanvl(qd, F.lit(float("-inf"))), F.lit(float("-inf")))
     winners = joined.groupBy("cluster").agg(
         F.max_by(
             id_col, F.struct(q.alias("q"), (-F.col(id_col)).alias("nid"))

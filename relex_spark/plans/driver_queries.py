@@ -625,6 +625,19 @@ def e7_trial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 _H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
+
+def _u6(col) -> F.Column:
+    """Per-ROW micro-unit conversion (floor(x*1e6+0.5) as BIGINT). Oracles
+    that publish a summed double must apply this BEFORE the SUM on both
+    engines: integer sums are order-independent, so the cross-engine hash
+    cannot flap with partition layout or scale. (Flooring AFTER a floating
+    SUM is a latent flap: the sum's last-ulp error grows with group size
+    while the floor resolution stays fixed — e1_f1_counts learned this.)
+    DuckDB twin: CAST(floor(x * 1000000 + 0.5) AS BIGINT)."""
+    return F.floor(F.col(col).cast("double") * 1_000_000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+
 _SHINGLES_CTE = rf"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
@@ -1033,21 +1046,26 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_u6
     FROM events
     GROUP BY 1, 2
     """,
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling-window aggregation (batch form of the streaming
-    windowed agg; the streaming module reuses this grouping)."""
+    windowed agg; the streaming module reuses this grouping). Values are
+    converted to micro-unit BIGINT per ROW before the SUM: integer sums are
+    order-independent, so the cross-engine hash cannot flap with partition
+    layout or scale (a floating SUM's last-ulp error grows with group size
+    while the u6 floor resolution stays fixed)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(_u6("value")).cast("bigint").alias("sum_value_u6"),
     )
 
 
@@ -2443,7 +2461,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_u6,
            min(ts) AS first_ts,
            max(ts) AS last_ts
     FROM events
@@ -2455,12 +2474,13 @@ def x_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is split into two ingest slices at the median timestamp, each slice is
     rolled up independently, and the slices are merged with MERGE-INTO
     algebra — the oracle is the SINGLE-PASS rollup over everything, so the
-    hash match proves incremental == batch."""
+    hash match proves incremental == batch. Values go to micro-unit BIGINT
+    per ROW before any rollup (see _u6): the merge algebra then sums exact
+    integers, so incremental == batch holds bit-for-bit at any slice count,
+    not just within float tolerance."""
     from relex_spark.operators.incremental import merge_rollups
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "sum_value", F.col("value")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("sum_value", _u6("value"))
     split = "2024-01-16 00:00:00"
 
     def rollup(df: DataFrame) -> DataFrame:
@@ -2485,9 +2505,7 @@ def x_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "n_events",
-        F.floor(F.col("sum_value") * 1_000_000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("sum_value_u6"),
+        F.col("sum_value").cast("bigint").alias("sum_value_u6"),
         "first_ts",
         "last_ts",
     )
@@ -2869,7 +2887,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(event_type, '<all>') AS event_type,
            COALESCE(CAST(user_id % 4 AS STRING), '<all>') AS user_bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_u6
     FROM events
     GROUP BY CUBE (event_type, CAST(user_id % 4 AS STRING))
     """,
@@ -2881,12 +2900,11 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 4).cast("string")
     return (
-        ev.cube(F.col("event_type"), bucket.alias("user_bucket"))
+        ev.withColumn("value_u6", _u6("value"))
+        .cube(F.col("event_type"), bucket.alias("user_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
-            .cast("bigint")
-            .alias("sum_value_u6"),
+            F.sum("value_u6").cast("bigint").alias("sum_value_u6"),
         )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
@@ -3564,7 +3582,8 @@ def _simhash_wide_oracle(bits: int = 64, band_bits: int = 8, max_ham: int = 3) -
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(floor(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_u6
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_u6
     FROM events
     GROUP BY 1, 2
     """,
@@ -3594,13 +3613,16 @@ def x_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 4)
             .parquet(in_dir)
         )
-        agg = stream.groupBy(
+        # per-row micro-units BEFORE the SUM (see _u6): the streaming
+        # state-store merge adds partial sums in micro-batch order, which
+        # differs from any batch engine's scan order — an integer sum is the
+        # only order-independent formulation, so the hash cannot flap with
+        # trigger boundaries.
+        agg = stream.withColumn("value_u6", _u6("value")).groupBy(
             F.window("ts", "5 minutes").alias("w"), "event_type"
         ).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.floor(F.sum("value") * 1_000_000 + F.lit(0.5))
-            .cast("bigint")
-            .alias("sum_value_u6"),
+            F.sum("value_u6").cast("bigint").alias("sum_value_u6"),
         )
         qname = "stream_win_" + uuid.uuid4().hex[:8]
         q = (
@@ -3612,18 +3634,27 @@ def x_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        out = (
+            spark.table(qname)
+            .select(
+                F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                    "window_start_epoch"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value_u6",
+            )
+            # pin the rows into the session, then drop the memory-sink table:
+            # without the drop every invocation leaked a registered
+            # stream_win_<uuid> temp view for the session's lifetime
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(qname)
+        return out
     finally:
-        # the memory sink holds the result; the corpus copy + checkpoint
-        # under the temp dir must not accumulate across harness runs
+        # the corpus copy + checkpoint under the temp dir must not
+        # accumulate across harness runs
         shutil.rmtree(base, ignore_errors=True)
-    return spark.table(qname).select(
-        F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
-            "window_start_epoch"
-        ),
-        "event_type",
-        "n_events",
-        "sum_value_u6",
-    )
 
 
 @register("dedup_simhash_wide", _simhash_wide_oracle())
@@ -3708,12 +3739,18 @@ DRIVER_TIER = [
     "f_scalar_functions",
 ]
 
-assert len(DRIVER_TIER) == DRIVER_TIER_SIZE, len(DRIVER_TIER)
-assert len(set(DRIVER_TIER)) == DRIVER_TIER_SIZE
+# Explicit raises, not asserts: these integrity checks must survive -O.
+if len(DRIVER_TIER) != DRIVER_TIER_SIZE or len(set(DRIVER_TIER)) != DRIVER_TIER_SIZE:
+    raise RuntimeError(
+        f"DRIVER_TIER must hold exactly {DRIVER_TIER_SIZE} distinct queries, "
+        f"got {len(DRIVER_TIER)} ({len(set(DRIVER_TIER))} distinct)"
+    )
 _missing = [n for n in DRIVER_TIER if n not in _ALL_QUERIES]
-assert not _missing, f"unregistered driver-tier queries: {_missing}"
+if _missing:
+    raise RuntimeError(f"unregistered driver-tier queries: {_missing}")
 _unpaired = [n for n in DRIVER_TIER if n not in _ALL_ORACLES]
-assert not _unpaired, f"driver-tier queries without oracles: {_unpaired}"
+if _unpaired:
+    raise RuntimeError(f"driver-tier queries without oracles: {_unpaired}")
 
 # Queries whose oracle is a literal golden generated from the sf0.01
 # corpus: valid ONLY at that scale. The driver's correctness snapshot runs

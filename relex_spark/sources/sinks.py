@@ -157,6 +157,20 @@ def write_stage_iceberg(
     return writer.createOrReplace()
 
 
+# AnalysisException error classes that mean "the stage table genuinely does
+# not exist" — ONLY these may map to False in stage_is_complete_iceberg. On
+# real catalogs (REST/Hive) AnalysisException also wraps auth failures and
+# catalog outages, which must propagate: treating them as "not done" would
+# silently recompute and replace a potentially-committed snapshot.
+_ICEBERG_ABSENT_ERROR_CLASSES = {
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "CATALOG_NOT_FOUND",
+    # Spark routes an unknown catalog prefix through the session catalog and
+    # fails multipart-name resolution with this class.
+    "REQUIRES_SINGLE_PART_NAMESPACE",
+}
+
+
 def stage_is_complete_iceberg(spark: SparkSession, table: str, stage: str) -> bool:
     """Resume check on the Iceberg branch: the table exists and its
     ``relex.stage`` property matches (set atomically with the snapshot)."""
@@ -164,11 +178,21 @@ def stage_is_complete_iceberg(spark: SparkSession, table: str, stage: str) -> bo
 
     try:
         rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    except AnalysisException:
-        # table (or catalog name) not resolvable -> stage genuinely absent.
-        # Anything else (auth failure, catalog outage) PROPAGATES: treating
-        # it as "not done" would silently recompute and replace a
-        # potentially-committed snapshot.
-        return False
+    except AnalysisException as e:
+        # Narrow to "table/catalog genuinely absent" by error class (message
+        # fallback for error-class-less exceptions from older connectors).
+        # Spark 4 renamed getErrorClass -> getCondition (old name deprecated).
+        get_cls = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cls = get_cls() if get_cls else None
+        if cls in _ICEBERG_ABSENT_ERROR_CLASSES:
+            return False
+        if cls is None and (
+            "TABLE_OR_VIEW_NOT_FOUND" in str(e)
+            or "Table or view not found" in str(e)
+        ):
+            return False
+        raise
     props = {r["key"]: r["value"] for r in rows}
     return props.get("relex.stage") == stage

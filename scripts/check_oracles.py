@@ -77,9 +77,37 @@ def main() -> int:
     spark = get_spark("oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # sf0.01-pinned literal goldens are wrong at any other scale — compare
-    # them only at the scale they were generated for (rows-only elsewhere).
-    at_golden_sf = os.path.normpath(sf_dir).endswith("sf0.01")
+    # Scale-pinned literal goldens are wrong at any other scale — compare
+    # them only against the corpus they were generated from. Detection is by
+    # corpus FINGERPRINT (row count + doc_id sum recorded at regen time),
+    # not directory name: an sf0.01 corpus in a differently-named directory
+    # must still get the golden check, and a foreign corpus in a directory
+    # that happens to end in "sf0.01" must not be compared against
+    # wrong-scale goldens.
+    try:
+        from relex_spark.plans.kg_goldens import GOLDEN_CORPUS
+    except ImportError:
+        GOLDEN_CORPUS = None
+    if GOLDEN_CORPUS is not None:
+        n_docs, docid_sum = con.execute(
+            "SELECT CAST(count(*) AS BIGINT),"
+            " CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents"
+        ).fetchone()
+        at_golden_sf = (
+            n_docs == GOLDEN_CORPUS["documents_rows"]
+            and docid_sum == GOLDEN_CORPUS["doc_id_sum"]
+        )
+    else:
+        at_golden_sf = os.path.normpath(sf_dir).endswith("sf0.01")
+        print(
+            "WARN: kg_goldens has no GOLDEN_CORPUS fingerprint; falling back "
+            "to directory-name scale detection (regen the goldens)"
+        )
+    if not at_golden_sf:
+        print(
+            "WARN: corpus does not match the golden fingerprint — "
+            "golden-pinned queries are downgraded to rows-only checks"
+        )
 
     failures = []
     for name in sorted(queries):
