@@ -51,6 +51,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # Host-noise telemetry: this is a multi-tenant VM with measured 2-4x
+    # run-to-run swings, and two straight rounds of "regression?" triage
+    # were spent adjudicating interference. Publishing every raw sample plus
+    # the loadavg envelope lets the BENCH artifact self-adjudicate drift
+    # (spread >> delta-vs-last-round == noise, not code).
+    raw_runs: dict[str, list[float]] = {}
+    loadavg: dict[str, list[float]] = {"start": list(os.getloadavg())}
 
     # --- headline operator queries over the driver testdata ---------------
     bench_queries = [
@@ -70,24 +77,27 @@ def main() -> int:
     # cluster amortizes over its lifetime), then the timed run.
     run_noop(QUERIES["p2_tokenize_roundtrip"](spark, sf_dir))
 
-    def best_of(fn, n: int = 2) -> float:
+    def best_of(name: str, fn, n: int = 2) -> float:
         """Min of n timed runs — the host is multi-tenant with measured
-        interference spikes; min is the robust capacity estimator."""
-        best = float("inf")
+        interference spikes; min is the robust capacity estimator. Every
+        raw sample is recorded into the published telemetry."""
+        samples = []
         for _ in range(n):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            samples.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = samples
+        return min(samples)
 
     for name in bench_queries:
         run_noop(QUERIES[name](spark, sf_dir))  # discarded warm run
         # n=3: observed 3-4x swings between consecutive runs under the
         # host's multi-tenant load spikes; two samples can both land on one
         timings[name] = best_of(
-            lambda: run_noop(QUERIES[name](spark, sf_dir)), n=3
+            name, lambda: run_noop(QUERIES[name](spark, sf_dir)), n=3
         )
-        log(f"{name}: {timings[name]}s")
+        log(f"{name}: {timings[name]}s {raw_runs[name]}")
+    loadavg["after_operator_queries"] = list(os.getloadavg())
 
     # --- flagship KG pipeline at sf-proportional transcript scale ---------
     try:
@@ -98,6 +108,11 @@ def main() -> int:
     # scheduling/AQE/noop-commit) don't dominate the throughput number
     n_convs = max(200, li_rows // 20)
 
+    # Headline corpus: plant_variants auto-derives from corpus size, so
+    # distinct (tokens, spans) scoring inputs grow ∝ sf and the
+    # dedup-before-inference win is measured against a REALISTIC duplication
+    # factor (~VARIANT_DUP_TARGET occurrences per distinct input), not the
+    # ~10^4 factor a fixed 10-sentence plant produces.
     transcripts = synthesize_transcripts(spark, n_convs=n_convs)
     # 4×cpus files: small corpora otherwise land in one 256 MB-split task
     # and the pipeline runs single-core (parallelism must come from the
@@ -115,7 +130,7 @@ def main() -> int:
     # same-JVM runs of this exact job ranged 3.3-12.2 s back-to-back, so two
     # samples can both land on an interference spike
     scored_sec = best_of(
-        lambda: run_noop(build_triples(tdf, config)), n=4
+        "kg_scored_triples", lambda: run_noop(build_triples(tdf, config)), n=4
     )
     timings["kg_scored_triples"] = scored_sec
 
@@ -129,7 +144,39 @@ def main() -> int:
         "overwrite"
     ).save()  # warm
     timings["kg_scored_triples_per_occurrence"] = best_of(
-        lambda: run_noop(build_triples(tdf, config_nodedup)), n=3
+        "kg_scored_triples_per_occurrence",
+        lambda: run_noop(build_triples(tdf, config_nodedup)),
+        n=3,
+    )
+
+    # Second duplication factor: the SAME corpus size with plant_variants=1
+    # (every planted turn repeats one of 10 fixed sentences — duplication
+    # factor ~10^3-10^4). Publishing both paths at both factors shows where
+    # the dedup win comes from and what it costs when there is little
+    # duplication to harvest.
+    synthesize_transcripts(
+        spark, n_convs=n_convs, plant_variants=1
+    ).repartition(4 * cpus).write.mode("overwrite").parquet(
+        "/tmp/relex_bench_transcripts_hd"
+    )
+    tdf_hd = spark.read.parquet("/tmp/relex_bench_transcripts_hd")
+    cfg_hd = KGPipelineConfig()
+    cfg_hd.weights = config.resolved_weights()
+    cfg_hd_nodedup = KGPipelineConfig(score_distinct=False)
+    cfg_hd_nodedup.weights = config.resolved_weights()
+    build_triples(tdf_hd, cfg_hd).write.format("noop").mode("overwrite").save()
+    timings["kg_scored_triples_highdup"] = best_of(
+        "kg_scored_triples_highdup",
+        lambda: run_noop(build_triples(tdf_hd, cfg_hd)),
+        n=2,
+    )
+    build_triples(tdf_hd, cfg_hd_nodedup).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["kg_scored_triples_highdup_per_occurrence"] = best_of(
+        "kg_scored_triples_highdup_per_occurrence",
+        lambda: run_noop(build_triples(tdf_hd, cfg_hd_nodedup)),
+        n=2,
     )
 
     scored = build_triples(tdf, config).cache()
@@ -156,7 +203,7 @@ def main() -> int:
         return canonicalize_triples(scored, components).count()
 
     n_canon = _canon_job()  # discarded warm run (codegen compile)
-    timings["kg_canonicalize"] = best_of(_canon_job, n=3)
+    timings["kg_canonicalize"] = best_of("kg_canonicalize", _canon_job, n=3)
 
     # Salted variant under the planted Zipf skew (transcripts.py: hot_convs
     # are hot_factor× longer, so their sentences repeat into hot
@@ -166,7 +213,9 @@ def main() -> int:
         return canonicalize_triples(scored, components, salt_buckets=8).count()
 
     _canon_salted_job()  # warm
-    timings["kg_canonicalize_salted"] = best_of(_canon_salted_job, n=3)
+    timings["kg_canonicalize_salted"] = best_of(
+        "kg_canonicalize_salted", _canon_salted_job, n=3
+    )
     scored.unpersist()
 
     # transparency for the dedup-before-inference default: how many
@@ -190,7 +239,19 @@ def main() -> int:
 
     _, _key = score_key(config.encoder)  # the same key build_triples dedups on
     distinct_scored = pairs.select(_key.alias("k")).distinct().count()
+    n_candidates = pairs.count()
 
+    pairs_hd = preprocess_candidates(
+        generate_candidate_pairs(
+            detect_mentions(tdf_hd, config.gazetteer_rows, keep_text=False),
+            config.max_pairs_per_turn,
+        ),
+        config.max_len,
+    )
+    distinct_scored_hd = pairs_hd.select(_key.alias("k")).distinct().count()
+    n_candidates_hd = pairs_hd.count()
+
+    loadavg["end"] = list(os.getloadavg())
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_sec",
@@ -202,10 +263,29 @@ def main() -> int:
             "n_convs": n_convs,
             "n_turns": n_turns,
             "scored_triples": n_triples,
+            "candidates": n_candidates,
             "distinct_scored_inputs": distinct_scored,
+            "duplication_factor": round(
+                n_candidates / max(distinct_scored, 1), 1
+            ),
             "canonical_triples": n_canon,
             "triples_per_sec": round(n_triples / scored_sec, 1),
             "turns_per_sec": round(n_turns / scored_sec, 1),
+            # the fixed-10-sentence corpus (plant_variants=1): same size,
+            # ~10^3-10^4 duplication factor — the second published factor
+            "highdup": {
+                "candidates": n_candidates_hd,
+                "distinct_scored_inputs": distinct_scored_hd,
+                "duplication_factor": round(
+                    n_candidates_hd / max(distinct_scored_hd, 1), 1
+                ),
+            },
+        },
+        "telemetry": {
+            # min-of-n is the published number; every raw sample + the
+            # loadavg envelope lets this artifact self-adjudicate host noise
+            "raw_runs_sec": raw_runs,
+            "loadavg": loadavg,
         },
         "config": {
             "cpus": cpus,

@@ -222,6 +222,59 @@ def semeval_official_f1(
     return {"precision": p, "recall": r_, "f1": f1}
 
 
+def format_semeval_official_report(
+    macro: dict[str, float],
+    micro: dict[str, float] | None = None,
+    counts: tuple[int, int, int] | None = None,
+) -> str:
+    """Render E4 metrics in the official perl scorer's report shape — the
+    text format the reference regex-parses rather than recomputes
+    (semeval2010_task8_evaluation.py:20-27 pins PRECISION/RECALL/F1_REGEX,
+    OFFICIAL_RESULT_REGEX and RESULT_LINE_REGEX against this layout). The
+    macro headline line must sit immediately under the
+    "MACRO-averaged result (excluding Other):" caption inside the
+    "(9+1)-WAY ... -- OFFICIAL" section, with each value as a right-aligned
+    ``%6.2f%%`` percentage (the perl scorer's printf), or the reference's
+    parser returns None.
+
+    ``counts`` renders the micro line's correct/guessed/gold fractions when
+    provided (perl scorer cosmetics; not consumed by the reference parser).
+    """
+
+    def pct(v: float) -> str:
+        return f"{v * 100.0:6.2f}%"
+
+    lines = [
+        "<<< (9+1)-WAY EVALUATION TAKING DIRECTIONALITY INTO ACCOUNT"
+        " -- OFFICIAL >>>:",
+        "",
+    ]
+    if micro is not None:
+        if counts is not None:
+            correct, guessed, gold_n = counts
+            frac_p = f"{correct}/{guessed} = "
+            frac_r = f"{correct}/{gold_n} = "
+        else:
+            frac_p = frac_r = ""
+        lines += [
+            "Micro-averaged result (excluding Other):",
+            f"P = {frac_p}{pct(micro['precision'])}     "
+            f"R = {frac_r}{pct(micro['recall'])}     "
+            f"F1 = {pct(micro['f1'])}",
+            "",
+        ]
+    lines += [
+        "MACRO-averaged result (excluding Other):",
+        f"P = {pct(macro['precision'])}     R = {pct(macro['recall'])}     "
+        f"F1 = {pct(macro['f1'])}",
+        "",
+        f"<<< The official score is (9+1)-way evaluation with directionality"
+        f" taken into account: macro-averaged F1 = {pct(macro['f1']).strip()}"
+        f" >>>",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def trial_summary(trials: DataFrame, group_col: str = "experiment") -> DataFrame:
     """E7: mean/stddev of P/R/F1 across trials (scripts/summary.py:49-99,
     population stddev per numpy default at :59-60)."""

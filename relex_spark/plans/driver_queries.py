@@ -2518,7 +2518,10 @@ def _kg_pairs_cte() -> str:
     per-turn cap — consumed by the kg_candidate_pairs and
     kg_canonical_pairs oracles."""
     from relex_spark.sources.transcripts import (
+        _MAX_VARIANTS,
+        _VARIANT_WORDS,
         PLANT_EVERY,
+        VARIANT_DUP_TARGET,
         fixture_gazetteer_rows,
         load_semeval_fixture,
     )
@@ -2532,16 +2535,41 @@ def _kg_pairs_cte() -> str:
         f"({q(s)}, {q(eid)}, {q(ty)})" for s, eid, ty in fixture_gazetteer_rows()
     )
     h = _H64.format(x="CAST(doc_id AS STRING)")
+    # Planted-variant mirror of transcripts_from_documents: the variant
+    # count is the SAME formula as plant_variants_for(count(*)) expressed as
+    # a scalar subquery, so this oracle tracks the Spark derivation at every
+    # corpus scale (pv == 1 degenerates to the bare sentence). The suffix is
+    # v's base-32 digits (leading-zero suppressed) rendered through the
+    # variant word list — mirror of _variant_suffix.
+    pv = (
+        f"(SELECT greatest(1, least((count(*) // {PLANT_EVERY})"
+        f" // {len(sents) * VARIANT_DUP_TARGET}, {_MAX_VARIANTS})) FROM documents)"
+    )
+    vwarr = "[" + ", ".join(q(w) for w in _VARIANT_WORDS) + "]"
+    digit_parts = ", ".join(
+        f"CASE WHEN vi {'>=' if 32 ** k > 1 else '>'} {max(32 ** k, 1) if k else 0}"
+        f" THEN ({vwarr})[CAST((vi // {32 ** k}) % 32 + 1 AS INT)] END"
+        for k in (3, 2, 1, 0)
+    )
+    suffix = f"array_to_string(list_filter([{digit_parts}], x -> x IS NOT NULL), ' ')"
     return rf"""
     WITH gaz(surface, entity_id, entity_type) AS (VALUES {gaz_vals}),
     sent(i, s) AS (VALUES {sent_vals}),
-    tr AS (
+    tr0 AS (
         SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
                CAST(floor(doc_id / 40.0) AS INT) AS turn_idx,
-               CASE WHEN h % {PLANT_EVERY} = 0
-                    THEN (SELECT s FROM sent WHERE i = h % {len(sents)} + 1)
-                    ELSE text END AS text
+               text, h,
+               (h // {PLANT_EVERY * len(sents)}) % {pv} AS vi,
+               (SELECT s FROM sent WHERE i = h % {len(sents)} + 1) AS base_s
         FROM (SELECT doc_id, text, {h} AS h FROM documents)
+    ),
+    tr AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN h % {PLANT_EVERY} = 0
+                    THEN CASE WHEN vi > 0 THEN base_s || ' ' || {suffix}
+                              ELSE base_s END
+                    ELSE text END AS text
+        FROM tr0
     ),
     tok AS (
         SELECT conv_id, turn_idx, {_TOKS} AS toks FROM tr
@@ -3769,4 +3797,73 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 }
 EXTRA_ORACLES: dict[str, str] = {
     n: sql for n, sql in _ALL_ORACLES.items() if n not in QUERIES
+}
+
+# ---------------------------------------------------------------------------
+# EXTRA-tier coverage map: every EXTRA query must either name its DRIVER_TIER
+# carrier (the consolidated query whose oracle composes or merges it) or
+# declare itself standalone with a reason. tests/test_registry_coverage.py
+# FAILS when a new EXTRA query lands without an entry here, so nothing can
+# silently fall outside the driver correctness window — this is the
+# structural form of the mapping docs/COVERAGE.md describes in prose.
+# ---------------------------------------------------------------------------
+EXTRA_COVERAGE: dict[str, str] = {
+    "v1_token_vocab": "v_vocab",
+    "v2_label_vocab": "v_vocab",
+    "p2_tokenize_roundtrip": "p_preprocess",
+    "p3_p8_normalize_lower": "p_preprocess",
+    "p4_entity_masking": "p_preprocess",
+    "p5_p7_truncate_clamp": "p_preprocess",
+    "m4_relative_offsets": "m_offsets",
+    "m5_sine_offsets": "m_offsets",
+    "m6_entity_marker": "m_offsets",
+    "m14_pool": "m_pool",
+    "m15_scoped_pool": "m_pool",
+    "e1_f1_counts": "e_f1",
+    "e2_f1_metrics": "e_f1",
+    "m1_multi_namespace_scored": "m_seq_encoders_scored",
+    "m9_bilstm_scored": "m_seq_encoders_scored",
+    "m10_attention_scored": "m_seq_encoders_scored",
+    "m12_gcn_scored": "m_graph_encoders_scored",
+    "m13_gat_scored": "m_graph_encoders_scored",
+    "ann_lsh_topk": "ann_scale_paths",
+    "ann_ivf_topk": "ann_scale_paths",
+    "text_lang_id": "text_stats",
+    "text_quality": "text_stats",
+    "text_token_counts": "text_stats",
+    "text_fingerprint": "text_stats",
+    "f_date_string_functions": "f_scalar_functions",
+    "f_json_extract": "f_scalar_functions",
+    "j_semi_anti": "j_set_semi",
+    "s_set_ops": "j_set_semi",
+    # merged carriers (single rewritten query, not _sub composition):
+    "x_turn_edit_distance": "x_turn_analysis",
+    "x_role_transitions": "x_turn_analysis",
+    # standalone EXTRA queries — judge-swept via scripts/check_oracles.py
+    # each round; the driver window carries an equivalent-operator check:
+    "dedup_minhash_lsh": "standalone: same MinHash+LSH operator is "
+    "driver-checked via dedup_lsh_verified (verified formulation)",
+    "dedup_simhash": "standalone: 16-bit unrolled-oracle demo; the driver "
+    "window carries dedup_simhash_pairs over the same operator",
+    "dedup_simhash_wide": "standalone: production 64-bit width of "
+    "driver-tier dedup_simhash_pairs; banded-join plan pinned in "
+    "tests/test_plans.py",
+    "dedup_cluster_assign": "standalone: transitive-closure clustering; the "
+    "same connected-components operator is driver-checked via "
+    "kg_canonical_pairs",
+    "mm_decode_features": "standalone: stub-codec feature plumbing; the "
+    "real-codec path is driver-checked via mm_real_decode",
+    "x_streaming_window_counts": "standalone: real readStream path whose "
+    "batch twin events_tumbling_window is driver-checked; the streaming "
+    "merge path is driver-checked via x_streaming_canonical_merge",
+    "q2_min_cost_supplier": "standalone: classical-operator breadth beyond "
+    "the 50-query driver window (correlated subquery)",
+    "q5_local_supplier_volume": "standalone: classical-operator breadth "
+    "beyond the 50-query driver window (multi-join aggregation)",
+    "q_part_brand_revenue": "standalone: classical-operator breadth beyond "
+    "the 50-query driver window (pivot)",
+    "q_rollup": "standalone: grouping-sets family; driver window carries "
+    "q_cube_events",
+    "t_topk_orders": "standalone: classical-operator breadth beyond the "
+    "50-query driver window (per-group top-k)",
 }

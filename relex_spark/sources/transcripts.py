@@ -53,6 +53,55 @@ _FILLER_WORDS = [
 # Turns 0-mod-PLANT_EVERY (by turn hash) carry a planted gold sentence.
 PLANT_EVERY = 3
 
+# Planted-sentence VARIETY scales with the corpus: each planted turn carries
+# variant index v = (hash div (PLANT_EVERY * n_sentences)) % plant_variants,
+# and v > 0 appends v's base-32 digits (rendered through _VARIANT_WORDS) to
+# the gold sentence. Distinct (tokens, spans) scoring inputs therefore grow
+# proportionally to corpus size instead of being pinned at ~12, so the
+# dedup-before-inference benchmark measures inference against a REALISTIC
+# duplication factor (VARIANT_DUP_TARGET occurrences per distinct input)
+# rather than the ~10^4 factor a fixed 10-sentence plant produces. The
+# suffix changes tokens AFTER the entity spans, so mention detection, span
+# positions, and canonicalization semantics are untouched; v = 0 plants the
+# bare sentence, so corpora small enough for plant_variants == 1 are
+# byte-identical to the pre-variant generator.
+VARIANT_DUP_TARGET = 8
+# Digit alphabet: base-32 words. MUST stay disjoint from every token of
+# every gazetteer surface (else a suffix could mint a new mention) —
+# pinned by tests/test_pipeline.py::test_variant_words_disjoint_from_gazetteer.
+_VARIANT_WORDS = _FILLER_WORDS
+_MAX_VARIANTS = 32**4  # 4 suffix digits; raise the digit count beyond ~1M
+
+
+def plant_variants_for(n_turns_estimate: int, n_sentences: int = 10) -> int:
+    """Variant count that lands the duplication factor near
+    VARIANT_DUP_TARGET for a corpus with ~n_turns_estimate turns (one turn
+    in PLANT_EVERY is planted)."""
+    planted = n_turns_estimate // PLANT_EVERY
+    return max(1, min(planted // (n_sentences * VARIANT_DUP_TARGET), _MAX_VARIANTS))
+
+
+def _variant_index(hash_name: str, plant_variants: int, n_sentences: int) -> F.Column:
+    """Variant index from the 60-bit turn hash. Integer `div`, not float
+    division: the hash exceeds 2^53, where double arithmetic drops bits."""
+    return F.expr(
+        f"({hash_name} div {PLANT_EVERY * n_sentences}) % {plant_variants}"
+    )
+
+
+def _variant_suffix(v: F.Column) -> F.Column:
+    """v > 0 → the base-32 digits of v as words (most-significant first);
+    v == 0 → NULL (concat_ws then drops it, leaving the bare sentence)."""
+    arr = F.array(*[F.lit(w) for w in _VARIANT_WORDS])
+    parts = []
+    for k in (3, 2, 1, 0):
+        base = 32**k
+        # v < _MAX_VARIANTS = 2^20 here, so double division is exact
+        d = (F.floor(v / F.lit(base)).cast("bigint") % 32 + 1).cast("int")
+        cond = (v >= base) if k > 0 else (v > 0)
+        parts.append(F.when(cond, F.element_at(arr, d)))
+    return F.when(v > 0, F.concat_ws(" ", *parts))
+
 
 def load_semeval_fixture() -> list[dict]:
     """The 10 SemEval fixture examples (id, tokens, label, entities)."""
@@ -104,14 +153,29 @@ def synthesize_transcripts(
     hot_convs: int = 2,
     hot_factor: int = 64,
     partitions: int | None = None,
+    plant_variants: int | None = None,
 ) -> DataFrame:
     """Generate the transcript table at a given scale.
 
     conv c has ``base_turns + (h(c) % base_turns)`` turns, except the first
     ``hot_convs`` conversations which are ``hot_factor``× longer (skew).
+
+    ``plant_variants=None`` derives the planted-sentence variant count from
+    the (deterministic) expected turn count, so distinct scoring inputs
+    grow ∝ corpus size (see the module-level variant commentary).
     """
     fixture = load_semeval_fixture()
     sentences = [" ".join(ex["tokens"]) for ex in fixture]
+    if plant_variants is None:
+        # Expected turns: hash%base_turns averages (base_turns-1)/2 ≈
+        # base_turns/2 extra turns per non-hot conv. Deterministic in the
+        # parameters (never a data-dependent count), so the generated table
+        # stays a pure function of (n_convs, base_turns, ...).
+        est_turns = (
+            min(hot_convs, n_convs) * base_turns * hot_factor
+            + max(0, n_convs - hot_convs) * (base_turns * 3) // 2
+        )
+        plant_variants = plant_variants_for(est_turns, len(sentences))
     sent_array = F.array(*[F.lit(s) for s in sentences])
     filler_array = F.array(*[F.lit(w) for w in _FILLER_WORDS])
 
@@ -159,7 +223,12 @@ def synthesize_transcripts(
 
     planted = F.col("turn_hash") % PLANT_EVERY == 0
     sent_idx = (F.col("turn_hash") % len(sentences) + 1).cast("int")
-    text = F.when(planted, F.element_at(sent_array, sent_idx)).otherwise(filler_text)
+    planted_text = F.element_at(sent_array, sent_idx)
+    if plant_variants > 1:
+        v = _variant_index("turn_hash", plant_variants, len(sentences))
+        # concat_ws drops the NULL suffix, so v == 0 plants the bare sentence
+        planted_text = F.concat_ws(" ", planted_text, _variant_suffix(v))
+    text = F.when(planted, planted_text).otherwise(filler_text)
 
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
@@ -182,19 +251,33 @@ def synthesize_transcripts(
     )
 
 
-def transcripts_from_documents(docs: DataFrame, convs: int = 40) -> DataFrame:
+def transcripts_from_documents(
+    docs: DataFrame, convs: int = 40, plant_variants: int | None = None
+) -> DataFrame:
     """Derive a transcript table deterministically from a documents table
     (driver testdata): conv = doc_id % convs, turn order by doc_id; a
     hash-seeded third of turns carries a planted SemEval gold sentence, the
     rest carry the document text. Same determinism rules as
-    synthesize_transcripts (pure function of doc_id)."""
+    synthesize_transcripts (pure function of doc_id).
+
+    ``plant_variants=None`` derives the variant count from the corpus row
+    count (one metadata-cheap ``count()`` — batch inputs only; pass an
+    explicit value for pre-counted or non-parquet inputs). The DuckDB
+    oracles in plans/driver_queries mirror the same formula as a scalar
+    subquery, so the mirror holds at every scale automatically."""
     sentences = [" ".join(ex["tokens"]) for ex in load_semeval_fixture()]
     sent_array = F.array(*[F.lit(s) for s in sentences])
+    if plant_variants is None:
+        plant_variants = plant_variants_for(docs.count(), len(sentences))
 
     d = docs.withColumn("doc_hash", F.expr(_hash_expr("doc_id")))
     planted = F.col("doc_hash") % PLANT_EVERY == 0
     sent_idx = (F.col("doc_hash") % len(sentences) + 1).cast("int")
-    text = F.when(planted, F.element_at(sent_array, sent_idx)).otherwise(F.col("text"))
+    planted_text = F.element_at(sent_array, sent_idx)
+    if plant_variants > 1:
+        v = _variant_index("doc_hash", plant_variants, len(sentences))
+        planted_text = F.concat_ws(" ", planted_text, _variant_suffix(v))
+    text = F.when(planted, planted_text).otherwise(F.col("text"))
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
         (F.col("doc_id") % 3 + 1).cast("int"),

@@ -146,3 +146,55 @@ def test_trial_summary(spark):
     assert math.isclose(s["exp1"]["mean_f1"], 0.6)
     assert math.isclose(s["exp1"]["std_f1"], 0.1)  # population stddev
     assert math.isclose(s["exp2"]["std_precision"], 0.0)
+
+
+def test_semeval_official_report_regex_roundtrip(spark):
+    """E4 report-format parity: format the repo's E4 aggregate into the
+    official perl scorer's report shape and round-trip it through the
+    REFERENCE's exact parsing regexes (literal copies of
+    relex/evaluation/semeval2010_task8_evaluation.py:20-27,31-53) — pinning
+    the output FORMAT, not just the math. A format drift (caption text,
+    line order, percentage printf) makes the reference parser return None
+    and this test fail."""
+    import re
+
+    from relex_spark.metrics.f1 import format_semeval_official_report
+
+    rows = [
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e1,e2)"),
+        ("Cause-Effect(e1,e2)", "Cause-Effect(e2,e1)"),
+        ("Other", "Other"),
+        ("Member-Collection(e1,e2)", "Other"),
+        ("Entity-Origin(e1,e2)", "Entity-Origin(e1,e2)"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    macro = semeval_official_f1(df)
+    report = format_semeval_official_report(
+        macro, micro={"precision": 0.5, "recall": 0.5, "f1": 0.5},
+        counts=(2, 4, 4),
+    )
+
+    # --- literal copies of the reference's parser (cited above) ---------
+    PRECISION_REGEX = r"P =\s*([0-9]{1,2}\.[0-9]{2})%"
+    RECALL_REGEX = r"R =\s*([0-9]{1,2}\.[0-9]{2})%"
+    F1_REGEX = r"F1 =\s*([0-9]{1,2}\.[0-9]{2})%"
+    OFFICIAL_RESULT_REGEX = (
+        r"\(9\+1\)-WAY EVALUATION TAKING DIRECTIONALITY "
+        "INTO ACCOUNT -- OFFICIAL"
+    )
+    RESULT_LINE_REGEX = r"MACRO-averaged result \(excluding Other\):\n((.*\n){1})"
+
+    official = re.search(OFFICIAL_RESULT_REGEX, report)
+    assert official, "official section header missing or reworded"
+    match = re.search(RESULT_LINE_REGEX, report[official.span(0)[1]:])
+    assert match, "macro caption/result line not where the parser expects"
+    line = match.group(1)
+    got = {
+        "precision": float(re.search(PRECISION_REGEX, line).group(1)),
+        "recall": float(re.search(RECALL_REGEX, line).group(1)),
+        "f1": float(re.search(F1_REGEX, line).group(1)),
+    }
+    for k in got:
+        assert math.isclose(got[k], round(macro[k] * 100.0, 2), abs_tol=1e-9), (
+            k, got[k], macro[k]
+        )

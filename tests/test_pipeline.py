@@ -191,3 +191,88 @@ def test_empty_input_and_empty_gazetteer(spark):
     full = synthesize_transcripts(spark, n_convs=2)
     with pytest.raises(ValueError):
         build_triples(full, KGPipelineConfig(gazetteer_rows=[]))
+
+
+def test_variant_words_disjoint_from_gazetteer():
+    """The variant-suffix alphabet must never mint a new mention: no
+    gazetteer surface token may appear among the variant words (1-grams and
+    boundary/suffix-internal 2-grams then cannot match any surface, since
+    every surface token is non-variant)."""
+    from relex_spark.sources.transcripts import (
+        _VARIANT_WORDS,
+        fixture_gazetteer_rows,
+    )
+
+    vw = set(_VARIANT_WORDS)
+    for surface, _, _ in fixture_gazetteer_rows():
+        for tok in surface.split(" "):
+            assert tok not in vw and tok.lower() not in vw, (surface, tok)
+
+
+def test_plant_variants_scale_distinct_inputs(spark):
+    """Distinct scored (tokens, spans) inputs grow ∝ corpus size: with
+    plant_variants > 1 the planted turns carry deterministic suffix
+    variants, multiplying distinct score keys while leaving spans, entity
+    mentions, and the canonical (subj, pred, obj) graph untouched."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.plans.kg_pipeline import (
+        preprocess_candidates,
+        score_key,
+    )
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    cfg = KGPipelineConfig()
+
+    def distinct_keys(pv: int) -> int:
+        t = synthesize_transcripts(spark, n_convs=60, plant_variants=pv)
+        pairs = preprocess_candidates(
+            generate_candidate_pairs(
+                detect_mentions(t, cfg.gazetteer_rows, keep_text=False), 10
+            ),
+            cfg.max_len,
+        )
+        _, key = score_key(cfg.encoder)
+        return pairs.select(key.alias("k")).distinct().count()
+
+    base = distinct_keys(1)
+    varied = distinct_keys(8)
+    assert varied > 3 * base, (base, varied)
+
+
+def test_plant_variants_preserve_mentions_and_entity_pairs(spark):
+    """Variants only append OOV-safe words AFTER the sentence: the mention
+    set (spans + entities) is identical with and without variants, the
+    canonical (subj, obj) co-occurrence structure (support summed over
+    preds — the CNN label MAY legitimately differ on suffixed tokens) is
+    identical, and per-turn text still round-trips (input_hint invariant)."""
+    from relex_spark.operators.candidates import detect_mentions
+    from relex_spark.sources.transcripts import synthesize_transcripts
+
+    cfg = KGPipelineConfig()
+    t1 = synthesize_transcripts(spark, n_convs=20, plant_variants=1)
+    t8 = synthesize_transcripts(spark, n_convs=20, plant_variants=8)
+    assert verify_text_invariant(t8) == 0
+
+    def mention_set(t):
+        m = detect_mentions(t, cfg.gazetteer_rows, keep_text=False).select(
+            "conv_id", "turn_idx", F.explode("mentions").alias("m")
+        )
+        return {
+            (r["conv_id"], r["turn_idx"], r["m"]["start"], r["m"]["end"],
+             r["m"]["entity_id"])
+            for r in m.collect()
+        }
+
+    assert mention_set(t1) == mention_set(t8)
+
+    def pair_structure(t):
+        out = run_kg_pipeline(spark, t, KGPipelineConfig())
+        rolled = out.groupBy("subj", "obj").agg(
+            F.sum("support").alias("support")
+        )
+        return {(r["subj"], r["obj"], r["support"]) for r in rolled.collect()}
+
+    assert pair_structure(t1) == pair_structure(t8)
