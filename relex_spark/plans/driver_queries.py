@@ -1566,28 +1566,90 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_percentiles_corr",
     """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
-           ROUND(stddev_samp(value), 6) AS sd_value
-    FROM events
-    GROUP BY event_type
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x,
+               CAST(user_id AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM q GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, p.p50, p.p95,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_q3,
+           ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000.0, 6)
+               AS sd_value_q3
+    FROM s JOIN p ON p.event_type = s.event_type
     """,
 )
 def q_percentiles_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (continuous quantile) + Pearson
     correlation + sample stddev per group — the ordered-aggregate /
     statistics surface. Spark percentile == DuckDB quantile_cont (both
-    linear interpolation over the sorted group)."""
+    linear interpolation over the sorted group — sort-based, so no
+    accumulation-order sensitivity).
+
+    corr/stddev are computed from EXACT integer power sums of milli-unit
+    quantized values (``_q3``): a native float corr()/stddev() accumulates
+    in partition scan order, so its last-ulp error differs between Spark's
+    parallel merge and DuckDB's sequential scan and a ROUND(…,6) landing
+    within an ulp of a rounding boundary would flap the driver hash (same
+    lesson as the summed-double event rollups). Exact BIGINT/DECIMAL sums
+    are order-independent; the closed-form combination runs in double from
+    identical integers on both engines, so the rounded result is stable at
+    any partitioning or scale. Per-row products stay in BIGINT (bounded by
+    value ≤ ~10^6 milli-units squared ≈ 10^12 per row); only the SUM
+    accumulator widens (DECIMAL(38,0) / HUGEINT)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    x = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint")
+    y = F.col("user_id").cast("bigint")
+    q = ev.select("event_type", "value", x.alias("x"), y.alias("y"))
+
+    def dsum(expr) -> F.Column:
+        # exact wide-integer sum, then one deterministic double conversion
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    p = q.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
-            "corr_value_user"
-        ),
-        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.join(p, "event_type").select(
+        "event_type",
+        "p50",
+        "p95",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_q3"),
+        F.round(
+            F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))) / 1000.0, 6
+        ).alias("sd_value_q3"),
     )
 
 
@@ -2782,6 +2844,149 @@ def kg_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tacred_masked_dim(masking_mode: str = "NER", max_len: int = 100):
+    """Expected (sent_idx, masked_tokens_joined, clamped spans, subj, obj)
+    per TACRED fixture sentence — an INDEPENDENT plain-Python
+    re-implementation of the P4 barrier (mask untruncated tokens at
+    unclamped spans → GloVe bracket normalization → truncate → clamp), so
+    the oracle does not call the pipeline's own text functions."""
+    from relex_spark.sources.transcripts import load_tacred_fixture
+
+    bracket = {
+        "-LRB-": "(", "-RRB-": ")", "-LSB-": "[",
+        "-RSB-": "]", "-LCB-": "{", "-RCB-": "}",
+    }
+    rows = []
+    for i, ex in enumerate(load_tacred_fixture(), start=1):
+        toks = list(ex["token"])
+        ss, se = ex["subj_start"], ex["subj_end"]
+        os_, oe = ex["obj_start"], ex["obj_end"]
+        sty, oty = ex["subj_type"], ex["obj_type"]
+        repl = {
+            "NER": (f"__{sty}__", f"__{oty}__"),
+            "Grammar": ("__SUB__", "__OBJ__"),
+            "NER+Grammar": (f"__{sty}_SUB__", f"__{oty}_OBJ__"),
+            "UNK": ("__UNK__", "__UNK__"),
+            "NER_NL": (sty.lower(), oty.lower()),
+        }[masking_mode]
+        # reference assigns head slice first, then tail — tail wins overlap
+        for j in range(ss, se + 1):
+            toks[j] = repl[0]
+        for j in range(os_, oe + 1):
+            toks[j] = repl[1]
+        toks = [bracket.get(t, t) for t in toks][:max_len]
+        subj = "ent:" + " ".join(
+            ex["token"][ss : se + 1]
+        ).lower().replace(" ", "_")
+        obj = "ent:" + " ".join(
+            ex["token"][os_ : oe + 1]
+        ).lower().replace(" ", "_")
+        rows.append(
+            (
+                i,
+                " ".join(toks),
+                min(ss, max_len - 1),
+                min(se, max_len - 1),
+                min(os_, max_len - 1),
+                min(oe, max_len - 1),
+                subj,
+                obj,
+            )
+        )
+    return rows
+
+
+def _kg_tacred_candidates_oracle() -> str:
+    """kg_tacred_candidates oracle: SQL mirrors the corpus-scale part (the
+    doc_id-hash planting and conv/turn derivation of
+    transcripts_from_documents_tacred); the per-sentence masked-token /
+    span outputs come from the independent Python dim above."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    dim_vals = ", ".join(
+        f"({i}, {q(m)}, {hs}, {he}, {ts}, {te}, {q(s)}, {q(o)})"
+        for i, m, hs, he, ts, te, s, o in _tacred_masked_dim()
+    )
+    h = _H64.format(x="CAST(doc_id AS STRING)")
+    return f"""
+    WITH dim(si, masked, hs, he, ts2, te2, subj, obj) AS (VALUES {dim_vals}),
+    tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx,
+               CAST((h // 3) % 3 + 1 AS INT) AS si
+        FROM (SELECT doc_id, {h} AS h FROM documents)
+        WHERE h % 3 = 0
+    )
+    SELECT conv_id, turn_idx,
+           conv_id || ':' || CAST(turn_idx AS STRING) || ':1' AS id,
+           md5(d.masked) AS tokens_md5,
+           CAST(d.hs AS INT) AS head_start,
+           CAST(d.he AS INT) AS head_end,
+           CAST(d.ts2 AS INT) AS tail_start,
+           CAST(d.te2 AS INT) AS tail_end,
+           d.subj, d.obj
+    FROM tr JOIN dim d ON d.si = tr.si
+    """
+
+
+def _tacred_canonical_golden() -> str:
+    from relex_spark.plans.kg_goldens import TACRED_CANONICAL_TRIPLE_ROWS
+
+    return _golden_oracle(
+        _CANONICAL_TRIPLE_COLS, TACRED_CANONICAL_TRIPLE_ROWS
+    )
+
+
+@register("kg_tacred_canonical_triples", _tacred_canonical_golden())
+def kg_tacred_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TACRED-schema end-to-end flagship twin: planted transcripts →
+    masked candidates → GCN scoring (dedup-before-inference) → canonical
+    triples, hash-checked against the generated sf0.01 golden
+    (kg_goldens.py; regen via scripts/regen_kg_goldens.py, which gates on
+    the independent kg_tacred_candidates oracle + per-row GCN parity)."""
+    from relex_spark.plans.kg_pipeline import run_tacred_kg_pipeline
+    from relex_spark.sources.transcripts import (
+        transcripts_from_documents_tacred,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_tacred_kg_pipeline(spark, transcripts_from_documents_tacred(docs))
+    return _select_canonical_u6(out)
+
+
+@register("kg_tacred_candidates", _kg_tacred_candidates_oracle())
+def kg_tacred_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TACRED-schema candidate stage at corpus scale — planted-turn
+    recovery (broadcast dim join), P4 entity masking in reference stage
+    order (mask → normalize → truncate → clamp, tacred.py:105-150), span
+    clamping — everything up to the GCN kernel, oracle-checked including
+    the per-turn masked-tokens md5. The adjacency built on these same
+    three fixture sentences is separately golden-pinned by
+    g_adjacency_edges (reference edge lists)."""
+    from relex_spark.plans.kg_pipeline import tacred_planted_candidates
+    from relex_spark.sources.transcripts import (
+        transcripts_from_documents_tacred,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents_tacred(docs)
+    c = tacred_planted_candidates(spark, t)
+    return c.select(
+        "conv_id",
+        "turn_idx",
+        "id",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+        F.col("head_start").cast("int").alias("head_start"),
+        F.col("head_end").cast("int").alias("head_end"),
+        F.col("tail_start").cast("int").alias("tail_start"),
+        F.col("tail_end").cast("int").alias("tail_end"),
+        "subj",
+        "obj",
+    )
+
+
 @register(
     "mm_real_decode",
     """
@@ -3787,6 +3992,7 @@ if _unpaired:
 GOLDEN_SF01_QUERIES = {
     "kg_canonical_triples",
     "kg_scored_candidates",
+    "kg_tacred_canonical_triples",
     "x_streaming_canonical_merge",
 }
 
@@ -3856,6 +4062,13 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_streaming_window_counts": "standalone: real readStream path whose "
     "batch twin events_tumbling_window is driver-checked; the streaming "
     "merge path is driver-checked via x_streaming_canonical_merge",
+    "kg_tacred_candidates": "standalone: TACRED-schema twin of driver-tier "
+    "kg_candidate_pairs (P4 masking barrier + planted-turn recovery at "
+    "corpus scale); independent Python-dim oracle",
+    "kg_tacred_canonical_triples": "standalone: TACRED-schema end-to-end "
+    "twin of driver-tier kg_canonical_triples (GCN scoring + "
+    "canonicalization), golden-pinned at sf0.01 via "
+    "scripts/regen_kg_goldens.py",
     "q2_min_cost_supplier": "standalone: classical-operator breadth beyond "
     "the 50-query driver window (correlated subquery)",
     "q5_local_supplier_volume": "standalone: classical-operator breadth "

@@ -224,6 +224,197 @@ def run_kg_pipeline(
     return _stage("canonical_triples", lambda: canonical)
 
 
+def tacred_pipeline_weights(masking_mode: str = "NER") -> ModelWeights:
+    """Deterministic GCN-capable weights over the TACRED fixture vocabulary
+    (lowercased fixture tokens + the masking markers the chosen mode can
+    emit) and the TACRED label set (sorted fixture relations + no_relation)
+    — the TACRED twin of KGPipelineConfig.resolved_weights()."""
+    from relex_spark.sources.transcripts import load_tacred_fixture
+
+    toks: set[str] = set()
+    labels: set[str] = {"no_relation"}
+    types: set[str] = set()
+    for ex in load_tacred_fixture():
+        toks.update(t.lower() for t in ex["token"])
+        labels.add(ex["relation"])
+        types.update((ex["subj_type"], ex["obj_type"]))
+    # markers per masking mode (tacred.py:179-196): keep all five modes'
+    # shapes in-vocab so mode switches don't silently change OOV coverage
+    for ty in types:
+        toks.update(
+            {
+                f"__{ty}__".lower(),
+                f"__{ty}_sub__".lower(),
+                f"__{ty}_obj__".lower(),
+            }
+        )
+    toks.update({"__sub__", "__obj__"})
+    return build_fixture_weights(sorted(toks), labels=sorted(labels))
+
+
+def tacred_planted_candidates(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    max_len: int = 100,
+    masking_mode: str = "NER",
+    prune: int = 1,
+) -> DataFrame:
+    """TACRED-schema candidate stage: recover planted turns by broadcast
+    join against the 3-row fixture dim (annotations travel with the dim —
+    a real ingest would carry parser columns in the table), then apply the
+    P4 stage barrier in reference order (tacred.py:105-110 before :150):
+    entity masking on UNTRUNCATED tokens at UNCLAMPED spans, GloVe
+    normalization, truncate, clamp — then dependency adjacency with SDP
+    pruning + clipping (G1-G4).
+
+    Narrow from the scan: broadcast join + codegen projections + one
+    Arrow-batched mapInPandas (adjacency); input partitioning flows
+    through untouched."""
+    from relex_spark.functions.text import (
+        mask_entities,
+        masking_replacements,
+        normalize_glove_tokens,
+        split_ws,
+    )
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.sources.transcripts import load_tacred_fixture
+
+    dim_rows = []
+    for ex in load_tacred_fixture():
+        subj_phrase = " ".join(
+            ex["token"][ex["subj_start"] : ex["subj_end"] + 1]
+        )
+        obj_phrase = " ".join(ex["token"][ex["obj_start"] : ex["obj_end"] + 1])
+        dim_rows.append(
+            (
+                " ".join(ex["token"]),
+                ex["subj_start"],
+                ex["subj_end"],
+                ex["obj_start"],
+                ex["obj_end"],
+                ex["subj_type"],
+                ex["obj_type"],
+                [int(h) for h in ex["stanford_head"]],
+                "ent:" + subj_phrase.lower().replace(" ", "_"),
+                "ent:" + obj_phrase.lower().replace(" ", "_"),
+            )
+        )
+    dim = spark.createDataFrame(
+        dim_rows,
+        "sent_text string, subj_start int, subj_end int, obj_start int, "
+        "obj_end int, subj_type string, obj_type string, "
+        "dep_heads array<int>, subj string, obj string",
+    )
+
+    planted = transcripts.join(
+        F.broadcast(dim), transcripts["text"] == dim["sent_text"]
+    )
+
+    tokens = split_ws(F.col("text"))
+    head_repl, tail_repl = masking_replacements(
+        masking_mode, F.col("subj_type"), F.col("obj_type")
+    )
+    tokens = mask_entities(
+        tokens,
+        F.col("subj_start"),
+        F.col("subj_end"),
+        F.col("obj_start"),
+        F.col("obj_end"),
+        head_repl,
+        tail_repl,
+    )
+    tokens = normalize_glove_tokens(tokens)
+
+    cands = planted.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx", F.lit("1")).alias("id"),
+        truncate_tokens(tokens, max_len).alias("tokens"),
+        clamp_span("subj_start", max_len).alias("head_start"),
+        clamp_span("subj_end", max_len).alias("head_end"),
+        clamp_span("obj_start", max_len).alias("tail_start"),
+        clamp_span("obj_end", max_len).alias("tail_end"),
+        "dep_heads",
+        "subj",
+        "obj",
+    )
+    return with_adjacency(cands, prune=prune, max_len=max_len)
+
+
+def tacred_scored_candidates(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    max_len: int = 100,
+    masking_mode: str = "NER",
+    prune: int = 1,
+    weights: ModelWeights | None = None,
+    score_distinct: bool = True,
+) -> DataFrame:
+    """TACRED candidates → GCN-scored candidates (M12), with the same
+    dedup-before-inference shuffle as the SemEval flagship (the score key
+    includes the adjacency for graph encoders — score_key("gcn")).
+
+    Returns conv_id, turn_idx, id, subj, obj, label, score."""
+    from relex_spark.scoring.scorer import score_candidates
+
+    cands = tacred_planted_candidates(
+        spark, transcripts, max_len=max_len, masking_mode=masking_mode,
+        prune=prune,
+    )
+    weights_bc = broadcast_weights(
+        spark, weights if weights is not None else tacred_pipeline_weights(masking_mode)
+    )
+    keep = ["conv_id", "turn_idx", "id", "subj", "obj"]
+    if score_distinct and not transcripts.isStreaming:
+        feat, key = score_key("gcn")
+        cands_k = cands.withColumn("score_key", key).localCheckpoint(
+            eager=False
+        )
+        uniq = cands_k.select("score_key", *feat).dropDuplicates(["score_key"])
+        scored_uniq = score_candidates(
+            uniq, weights_bc, keep_columns=["score_key"], encoder="gcn"
+        )
+        return cands_k.select("score_key", *keep).join(
+            scored_uniq, "score_key"
+        ).drop("score_key")
+    return score_candidates(
+        cands, weights_bc, keep_columns=keep, encoder="gcn"
+    )
+
+
+def run_tacred_kg_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    max_len: int = 100,
+    masking_mode: str = "NER",
+    prune: int = 1,
+    weights: ModelWeights | None = None,
+    score_distinct: bool = True,
+) -> DataFrame:
+    """TACRED-schema end-to-end pipeline over a planted-transcript corpus —
+    the reference's second schema gets the same corpus-scale treatment as
+    the SemEval flagship: tacred_planted_candidates (P4 barrier + G1-G4
+    adjacency), tacred_scored_candidates (GCN scoring with
+    dedup-before-inference), and entity canonicalization over the TACRED
+    alias gazetteer. Canonicalize's component map is broadcast; the triple
+    rollup is the one wide stage.
+
+    Returns canonical triples: subj, pred, obj, support, max_score,
+    first_id."""
+    from relex_spark.sources.transcripts import tacred_gazetteer_rows
+
+    scored = tacred_scored_candidates(
+        spark, transcripts, max_len=max_len, masking_mode=masking_mode,
+        prune=prune, weights=weights, score_distinct=score_distinct,
+    )
+    gaz = spark.createDataFrame(
+        tacred_gazetteer_rows(),
+        "surface string, entity_id string, entity_type string",
+    )
+    components = connected_components(alias_edges_from_gazetteer(gaz))
+    return canonicalize_triples(scored, components, broadcast_map=True)
+
+
 def verify_text_invariant(transcripts: DataFrame) -> int:
     """Per-turn text equality under stable (conv_id, turn_idx) ordering:
     join/split round-trip must be the identity (input_hint invariant;

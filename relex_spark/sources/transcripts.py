@@ -113,6 +113,81 @@ def load_semeval_fixture() -> list[dict]:
     return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
+def load_tacred_fixture() -> list[dict]:
+    """The 3 TACRED fixture examples (reference tests/fixtures format:
+    token, subj/obj spans+types, relation, stanford_* annotations)."""
+    text = (
+        resources.files("relex_spark.data")
+        .joinpath("tacred_fixture.json")
+        .read_text()
+    )
+    return json.loads(text)
+
+
+def tacred_gazetteer_rows() -> list[tuple[str, str, str]]:
+    """(surface, entity_id, entity_type) rows from the TACRED fixture's
+    subj/obj spans (spans are INCLUSIVE in the TACRED schema), with
+    capitalization aliases — the TACRED twin of fixture_gazetteer_rows, so
+    the TACRED end-to-end pipeline exercises the same canonicalization
+    stage with typed (PERSON/TITLE/...) entities."""
+    rows: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    for ex in load_tacred_fixture():
+        for s, e, ty in (
+            (ex["subj_start"], ex["subj_end"], ex["subj_type"]),
+            (ex["obj_start"], ex["obj_end"], ex["obj_type"]),
+        ):
+            phrase = " ".join(ex["token"][s : e + 1])
+            eid = "ent:" + phrase.lower().replace(" ", "_")
+            for alias in {phrase, phrase.lower(), phrase.capitalize()}:
+                if alias not in seen:
+                    seen.add(alias)
+                    rows.append((alias, eid, ty))
+    return rows
+
+
+def transcripts_from_documents_tacred(docs: DataFrame, convs: int = 40) -> DataFrame:
+    """TACRED-planted twin of transcripts_from_documents: the hash-seeded
+    third of turns carries one of the 3 TACRED fixture sentences verbatim
+    (space-joined — split_ws round-trips to the fixture token list), the
+    rest carry the document text. No variant suffixes: with 3 planted
+    sentences this derivation feeds the TACRED-schema end-to-end golden,
+    not a throughput benchmark."""
+    sentences = [" ".join(ex["token"]) for ex in load_tacred_fixture()]
+    sent_array = F.array(*[F.lit(s) for s in sentences])
+
+    d = docs.withColumn("doc_hash", F.expr(_hash_expr("doc_id")))
+    planted = F.col("doc_hash") % PLANT_EVERY == 0
+    # sent_idx from hash div PLANT_EVERY, NOT hash % 3: with exactly 3
+    # fixture sentences, `hash % 3` is constant (0) on the planted subset
+    # (hash % PLANT_EVERY == 0, PLANT_EVERY == 3) — every plant would carry
+    # sentence 1. The SemEval twin dodges this only because gcd(3, 10) == 1.
+    sent_idx = (
+        F.expr(f"doc_hash div {PLANT_EVERY}") % len(sentences) + 1
+    ).cast("int")
+    text = F.when(planted, F.element_at(sent_array, sent_idx)).otherwise(
+        F.col("text")
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.concat(F.lit("conv-"), F.col("doc_id") % convs).alias("conv_id"),
+        (F.col("doc_id") / convs).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", F.lit("search"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("doc_id") % convs) * 100_000
+            + (F.col("doc_id") / convs).cast("int") * 60
+        ).alias("ts"),
+    )
+
+
 def fixture_gazetteer_rows() -> list[tuple[str, str, str]]:
     """(surface, entity_id, entity_type) rows derived from the fixture
     entity spans (FIXTURES.md §4), plus capitalization aliases so the
