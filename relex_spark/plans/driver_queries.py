@@ -598,21 +598,51 @@ def e3_tacred_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e7_trial_summary",
     """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               COUNT(*) AS n_trials
+        FROM (SELECT event_type,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+              FROM events)
+        GROUP BY event_type
+    )
     SELECT event_type AS experiment,
-           ROUND(AVG(value), 4) AS mean_value,
-           ROUND(stddev_pop(value), 4) AS std_value,
-           COUNT(*) AS n_trials
-    FROM events
-    GROUP BY event_type
+           ROUND(sx / n / 1000.0, 4) AS mean_value_q3,
+           ROUND(sqrt(greatest(n * sxx - sx * sx, 0)) / n / 1000.0, 4)
+               AS std_value_q3,
+           n_trials
+    FROM s
     """,
 )
 def e7_trial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E7: mean/stddev summary across trials (scripts/summary.py:49-99)."""
+    """E7: mean/stddev summary across trials (scripts/summary.py:49-99).
+
+    mean/stddev_pop computed from EXACT integer power sums of milli-unit
+    quantized values (same rationale as q_percentiles_corr: a native float
+    AVG/stddev accumulates in partition scan order, so a value within an
+    ulp of the ROUND boundary could hash-flap across engines; integer sums
+    are order-independent)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(F.col("event_type").alias("experiment")).agg(
-        F.round(F.avg("value"), 4).alias("mean_value"),
-        F.round(F.stddev_pop("value"), 4).alias("std_value"),
+    x = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint")
+    s = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
         F.count(F.lit(1)).alias("n_trials"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return s.select(
+        F.col("event_type").alias("experiment"),
+        F.round(sx / n / 1000.0, 4).alias("mean_value_q3"),
+        F.round(
+            F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) / n / 1000.0, 4
+        ).alias("std_value_q3"),
+        "n_trials",
     )
 
 

@@ -198,3 +198,31 @@ def test_semeval_official_report_regex_roundtrip(spark):
         assert math.isclose(got[k], round(macro[k] * 100.0, 2), abs_tol=1e-9), (
             k, got[k], macro[k]
         )
+
+
+def test_semeval_official_report_golden_text():
+    """Byte-exact golden of the report layout (perl scorer's printf shape):
+    pins spacing, captions, the count fractions, and the trailing official
+    line — format drifts the regex round-trip can't see (e.g. padding
+    changes that still match \\s*) fail here."""
+    from relex_spark.metrics.f1 import format_semeval_official_report
+
+    report = format_semeval_official_report(
+        {"precision": 0.5, "recall": 0.25, "f1": 1 / 3},
+        micro={"precision": 0.625, "recall": 0.5, "f1": 0.5555555555},
+        counts=(5, 8, 10),
+    )
+    golden = (
+        "<<< (9+1)-WAY EVALUATION TAKING DIRECTIONALITY INTO ACCOUNT"
+        " -- OFFICIAL >>>:\n"
+        "\n"
+        "Micro-averaged result (excluding Other):\n"
+        "P = 5/8 =  62.50%     R = 5/10 =  50.00%     F1 =  55.56%\n"
+        "\n"
+        "MACRO-averaged result (excluding Other):\n"
+        "P =  50.00%     R =  25.00%     F1 =  33.33%\n"
+        "\n"
+        "<<< The official score is (9+1)-way evaluation with directionality"
+        " taken into account: macro-averaged F1 = 33.33% >>>\n"
+    )
+    assert report == golden
