@@ -73,6 +73,11 @@ class KGPipelineConfig:
     # the duplication factor exceeds ~1.2. Batch-only: on a stream the
     # dedup/join would need unbounded state, so it is skipped there.
     score_distinct: bool = True
+    # Dictionary-encode tokens to int ids JVM-side before the Arrow
+    # boundary (scorer.score_candidates jvm_token_ids): identical outputs,
+    # int32 arrays instead of strings through mapInPandas. Off by default
+    # pending the measured verdict in BENCH/BASELINE.md §Arrow-transport.
+    jvm_token_ids: bool = False
     gazetteer_rows: list[tuple[str, str, str]] = field(
         default_factory=fixture_gazetteer_rows
     )
@@ -180,12 +185,17 @@ def build_triples(
             weights_bc,
             keep_columns=["score_key"],
             encoder=config.encoder,
+            jvm_token_ids=config.jvm_token_ids,
         )
         return pairs_k.select("score_key", *keep).join(
             scored_uniq, "score_key"
         ).drop("score_key")
     return score_candidates(
-        pairs, weights_bc, keep_columns=keep, encoder=config.encoder
+        pairs,
+        weights_bc,
+        keep_columns=keep,
+        encoder=config.encoder,
+        jvm_token_ids=config.jvm_token_ids,
     )
 
 
