@@ -359,6 +359,7 @@ def tacred_scored_candidates(
     prune: int = 1,
     weights: ModelWeights | None = None,
     score_distinct: bool = True,
+    jvm_token_ids: bool = False,
 ) -> DataFrame:
     """TACRED candidates → GCN-scored candidates (M12), with the same
     dedup-before-inference shuffle as the SemEval flagship (the score key
@@ -382,13 +383,21 @@ def tacred_scored_candidates(
         )
         uniq = cands_k.select("score_key", *feat).dropDuplicates(["score_key"])
         scored_uniq = score_candidates(
-            uniq, weights_bc, keep_columns=["score_key"], encoder="gcn"
+            uniq,
+            weights_bc,
+            keep_columns=["score_key"],
+            encoder="gcn",
+            jvm_token_ids=jvm_token_ids,
         )
         return cands_k.select("score_key", *keep).join(
             scored_uniq, "score_key"
         ).drop("score_key")
     return score_candidates(
-        cands, weights_bc, keep_columns=keep, encoder="gcn"
+        cands,
+        weights_bc,
+        keep_columns=keep,
+        encoder="gcn",
+        jvm_token_ids=jvm_token_ids,
     )
 
 

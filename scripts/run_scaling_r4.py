@@ -45,8 +45,24 @@ def regen_corpus() -> None:
 
 
 def main() -> int:
-    regen_corpus()
+    # resumable: reuse an existing corpus and skip (cpus, jvm) pairs already
+    # recorded — the campaign spans ~1.5h and must survive session restarts
+    if os.path.exists(os.path.join(TRANSCRIPTS, "_SUCCESS")) and len(sys.argv) <= 1:
+        print(f"reusing existing corpus at {TRANSCRIPTS}", file=sys.stderr)
+    else:
+        regen_corpus()
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done.add((r["cpus"], int(r["jvm_token_ids"])))
     for cpus, jvm in PLAN:
+        if (cpus, jvm) in done:
+            print(f"local[{cpus}] jvm_ids={jvm}: already recorded, skipping",
+                  flush=True)
+            continue
         env = dict(os.environ)
         env["RELEX_SCALING_JVM_IDS"] = str(jvm)
         load_before = list(os.getloadavg())

@@ -122,3 +122,18 @@ def test_tacred_masking_mode_semantics(spark, transcripts):
             assert n["tokens"][i].startswith("__") and n["tokens"][i].endswith("__")
         for i in range(g["tail_start"], g["tail_end"] + 1):
             assert g["tokens"][i] == "__OBJ__"
+
+
+def test_tacred_jvm_token_ids_bit_identical(spark, transcripts):
+    """jvm_token_ids through the TACRED/GCN path ≡ the Python-lookup path
+    (graph encoder + masked-token vocab + dedup-before-inference)."""
+    from relex_spark.plans.kg_pipeline import tacred_scored_candidates
+
+    cols = ["id", "subj", "obj", "label", "score"]
+    a = tacred_scored_candidates(spark, transcripts).select(*cols)
+    b = tacred_scored_candidates(spark, transcripts, jvm_token_ids=True).select(
+        *cols
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and ra
