@@ -9,6 +9,12 @@ inside the same host-noise window. Raw per-worker JSON (plus loadavg
 before each worker) appends to BENCH/scaling_r4_480k.jsonl.
 
 Usage: python3 scripts/run_scaling_r4.py [n_convs]
+       python3 scripts/run_scaling_r4.py --redo 2:0,2:1,8:0,8:1
+
+--redo re-runs the named (cpus:jvm) pairs even if already recorded,
+appending fresh records; summarize_scaling_r4.py keys on (cpus, jvm)
+taking the LAST record, so a quiet-window redo supersedes a noisy one
+while the noisy raw record stays published in the jsonl.
 """
 
 from __future__ import annotations
@@ -25,9 +31,17 @@ sys.path.insert(0, REPO)
 
 TRANSCRIPTS = "/tmp/relex_scaling_transcripts"
 OUT = os.path.join(REPO, "BENCH", "scaling_r4_480k.jsonl")
-N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+REDO: list[tuple[int, int]] = []
+if len(sys.argv) > 2 and sys.argv[1] == "--redo":
+    REDO = [
+        (int(p.split(":")[0]), int(p.split(":")[1]))
+        for p in sys.argv[2].split(",")
+    ]
+N_CONVS = (
+    int(sys.argv[1]) if len(sys.argv) > 1 and not REDO else 480_000
+)
 # interleaved: per level, base first then jvm-ids — A/B within one window
-PLAN = [(2, 0), (2, 1), (8, 0), (8, 1), (32, 0), (32, 1)]
+PLAN = REDO or [(2, 0), (2, 1), (8, 0), (8, 1), (32, 0), (32, 1)]
 
 
 def regen_corpus() -> None:
@@ -47,12 +61,14 @@ def regen_corpus() -> None:
 def main() -> int:
     # resumable: reuse an existing corpus and skip (cpus, jvm) pairs already
     # recorded — the campaign spans ~1.5h and must survive session restarts
-    if os.path.exists(os.path.join(TRANSCRIPTS, "_SUCCESS")) and len(sys.argv) <= 1:
+    if os.path.exists(os.path.join(TRANSCRIPTS, "_SUCCESS")) and (
+        REDO or len(sys.argv) <= 1
+    ):
         print(f"reusing existing corpus at {TRANSCRIPTS}", file=sys.stderr)
     else:
         regen_corpus()
     done = set()
-    if os.path.exists(OUT):
+    if os.path.exists(OUT) and not REDO:
         with open(OUT) as f:
             for line in f:
                 if line.strip():
