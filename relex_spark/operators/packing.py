@@ -1,0 +1,186 @@
+"""Training-batch assembly operators for LLM data pipelines.
+
+* ``pack_greedy`` — fixed-token-budget sequence packing: documents are
+  sharded deterministically, ordered within shard, and greedily filled
+  into packs of at most ``budget`` tokens (the standard pre-training
+  "example packing" step that turns variable-length documents into
+  fixed-budget training sequences).
+* ``token_budget_mix`` — per-source token-budget corpus mixing: each
+  source contributes documents in deterministic hash order until its
+  token budget is reached (the data-recipe "mixing" step — e.g. 30B
+  tokens of web, 5B of code — made reproducible).
+
+Scale notes
+-----------
+Greedy packing is inherently sequential *within* a shard (each pack
+boundary depends on everything before it), so the parallelism unit is
+the shard — exactly how production packers run: one shuffle on the
+shard key, then an O(shard) single pass per shard inside
+``applyInPandas``. Shard count scales with the corpus; per-shard state
+is two integers. A recursive-CTE formulation exists (the DuckDB oracle
+uses one) but would cost one distributed iteration per *row* on Spark —
+rejected.
+
+``token_budget_mix`` needs a cumulative token sum in hash order per
+source. A naive window over ``ORDER BY hash`` sorts each source
+globally; instead the cumsum is two-phase: (1) per-(source, bucket)
+partial token sums — a tiny aggregate (n_sources x n_buckets rows)
+collected and turned into broadcast bucket offsets; (2) a window only
+*within* each (source, bucket) plus the offset. No global sort; the
+widest shuffle is bounded by the bucket granularity, and a skewed
+source spreads across all its buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from relex_spark.functions.text import portable_hash64, split_ws
+
+_PACK_SCHEMA = (
+    "doc_id bigint, shard int, pack_id bigint, pack_pos int, tok_count bigint"
+)
+
+
+def _pack_one_shard(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Greedy fill of one shard (rows pre-sorted by doc_id): a document
+    joins the current pack iff it fits in the remaining budget, else it
+    starts the next pack. A document longer than the whole budget gets a
+    pack of its own (callers that truncate instead do so upstream)."""
+    pack_ids, positions = [], []
+    pack_id, fill, pos = 0, 0, 0
+    first = True
+    for tok in pdf["tok_count"]:
+        t = int(tok)
+        if first:
+            first = False
+            fill, pos = t, 0
+        elif fill + t <= budget:
+            fill += t
+            pos += 1
+        else:
+            pack_id += 1
+            fill, pos = t, 0
+        pack_ids.append(pack_id)
+        positions.append(pos)
+    out = pdf.copy()
+    out["pack_id"] = pd.Series(pack_ids, index=pdf.index, dtype="int64")
+    out["pack_pos"] = pd.Series(positions, index=pdf.index, dtype="int32")
+    return out
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to a (shard, pack_id, pack_pos) under a
+    greedy fixed-token-budget fill. Deterministic: the shard is the
+    portable hash of the id, the within-shard order is the id itself, so
+    reruns and repartitionings produce the identical packing.
+
+    Output: (doc_id, shard, pack_id, pack_pos, tok_count).
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(f"budget/n_shards must be positive, got {budget}/{n_shards}")
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(split_ws(F.col(text_col))).cast("bigint").alias("tok_count"),
+    )
+
+    def fill(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        packed = _pack_one_shard(pdf.sort_values("doc_id"), budget)
+        return packed[["doc_id", "shard", "pack_id", "pack_pos", "tok_count"]]
+
+    return base.groupBy("shard").applyInPandas(fill, schema=_PACK_SCHEMA)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Keep documents per source, in a deterministic pseudo-random order
+    — (hash bucket, hash, id), i.e. bucket-major so the scale-safe
+    two-phase cumsum IS the contract order — while the
+    running token total is within that source's budget; the document that
+    crosses the budget is the last one kept (so every non-empty source
+    contributes at least one document and the overshoot is < one doc).
+    Sources absent from ``budgets`` are dropped.
+
+    Output: (doc_id, source, tok_count, cum_tokens) for kept docs only.
+
+    The cumulative sum is two-phase (see module docstring): per-bucket
+    partial sums are collected (tiny), converted to broadcast offsets,
+    and the window runs only within (source, bucket).
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    h = portable_hash64(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    base = (
+        docs.where(F.col(source_col).isin(*budgets.keys()))
+        .select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.size(split_ws(F.col(text_col))).cast("bigint").alias("tok_count"),
+            h.alias("__h"),
+        )
+        .withColumn("__bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
+        .localCheckpoint(eager=False)  # two consumers: offsets + window
+    )
+    # phase 1: per-(source, bucket) token sums -> running offset of every
+    # bucket = total tokens of all lower buckets in the same source
+    part = (
+        base.groupBy("source", "__bucket")
+        .agg(F.sum("tok_count").alias("__bsum"))
+        .collect()
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    by_source: dict[str, list] = {}
+    for row in part:
+        by_source.setdefault(row["source"], []).append(row)
+    for source, rows in by_source.items():
+        acc = 0
+        for row in sorted(rows, key=lambda r: r["__bucket"]):
+            offsets[(source, row["__bucket"])] = acc
+            acc += int(row["__bsum"])
+    off_expr = F.lit(0).cast("bigint")
+    for (source, bucket), off in sorted(offsets.items()):
+        off_expr = F.when(
+            (F.col("source") == source) & (F.col("__bucket") == bucket),
+            F.lit(off).cast("bigint"),
+        ).otherwise(off_expr)
+    # phase 2: window only within (source, bucket) — no global sort
+    w = (
+        Window.partitionBy("source", "__bucket")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.lit(None).cast("bigint")
+    for source, budget in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col("source") == source, F.lit(int(budget)).cast("bigint")
+        ).otherwise(budget_expr)
+    cum = base.withColumn(
+        "cum_tokens", (F.sum("tok_count").over(w) + off_expr).cast("bigint")
+    )
+    # keep iff the budget was not already met BEFORE this doc: the doc
+    # crossing the line is kept, everything after it is cut
+    return (
+        cum.where(F.col("cum_tokens") - F.col("tok_count") < budget_expr)
+        .select("doc_id", "source", "tok_count", "cum_tokens")
+    )

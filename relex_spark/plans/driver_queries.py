@@ -3932,6 +3932,187 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-batch assembly + semantic dedup (round 4): sequence packing,
+# token-budget corpus mixing, SemDeDup-style cluster-then-prune.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "x_pack_sequences",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({_H64.format(x="'pack:' || CAST(doc_id AS VARCHAR)")}
+                    % {_PACK_SHARDS} AS INT) AS shard,
+               CAST(len({_TOKS}) AS BIGINT) AS tok_count
+        FROM documents
+    ),
+    d AS (
+        SELECT base.*, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, tok_count,
+               CAST(0 AS BIGINT) AS pack_id, 0 AS pack_pos, tok_count AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.tok_count,
+               CASE WHEN p.fill + d.tok_count <= {_PACK_BUDGET}
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + d.tok_count <= {_PACK_BUDGET}
+                    THEN p.pack_pos + 1 ELSE 0 END,
+               CASE WHEN p.fill + d.tok_count <= {_PACK_BUDGET}
+                    THEN p.fill + d.tok_count ELSE d.tok_count END
+        FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, pack_id, CAST(pack_pos AS INT) AS pack_pos, tok_count
+    FROM packed
+    """,
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget greedy sequence packing (training-batch
+    assembly): shard by portable hash, greedy fill within shard — the
+    parallelism unit is the shard, so the inherently-sequential fill never
+    leaves one task. The oracle replays the identical greedy recurrence as
+    a recursive CTE (one DuckDB iteration per within-shard row)."""
+    from relex_spark.operators.packing import pack_greedy
+
+    return pack_greedy(
+        _t(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+_MIX_BUDGETS = {"src1": 3000, "src4": 1200, "src7": 800}
+
+
+@register(
+    "x_token_budget_mix",
+    f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS tok_count,
+               {_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+        WHERE source IN ('src1', 'src4', 'src7')
+    ),
+    cum AS (
+        SELECT doc_id, source, tok_count,
+               SUM(tok_count) OVER (
+                   PARTITION BY source ORDER BY h % 16, h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM base
+    )
+    SELECT doc_id, source, tok_count, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum
+    WHERE cum_tokens - tok_count < CASE source WHEN 'src1' THEN 3000
+                                               WHEN 'src4' THEN 1200
+                                               ELSE 800 END
+    """,
+)
+def x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe mixing: each source contributes docs in deterministic
+    (bucket, hash, id) order until its token budget is crossed. The Spark
+    side's cumsum is two-phase (per-bucket offsets broadcast + window only
+    within (source, bucket) — no per-source global sort); the oracle's
+    single window over the same total order proves the phases compose."""
+    from relex_spark.operators.packing import token_budget_mix
+
+    return token_budget_mix(_t(spark, sf_dir, "documents"), dict(_MIX_BUDGETS))
+
+
+def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.40) -> str:
+    """DuckDB twin of operators/semdedup.semantic_dedup: seeded pick by
+    portable hash, argmin-cosine assignment, ONE Lloyd step in exact
+    integer micro-units (bigint sums, pmod floor-division), re-assignment,
+    within-cluster cosine prune. Shared sub-expressions mirror the Spark
+    fold order (sequential left-to-right over dims), so doubles match
+    bit-for-bit — the same parity contract ann_ivf_topk already pins."""
+    h = _H64.format(x="'ivf:' || CAST(vec_id AS VARCHAR)")
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    nsim = (
+        "-(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               {h} AS h
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT v AS sv, ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS cid
+        FROM (SELECT * FROM e ORDER BY h, id LIMIT {n_clusters})
+    ),
+    a1 AS (
+        SELECT id, v, cid FROM (
+            SELECT e.id, e.v, s.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.id
+                       ORDER BY {nsim.format(a="e.v", b="s.sv")}, s.cid) AS rk
+            FROM e, seeds s
+        ) WHERE rk = 1
+    ),
+    comp AS (
+        SELECT cid, u.dim AS dim, u.x_u6 AS x_u6 FROM (
+            SELECT cid,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(
+                              dim := i - 1,
+                              x_u6 := CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT)
+                          ))) AS u
+            FROM a1
+        )
+    ),
+    cent2 AS (
+        SELECT cid, list(m_u6 / 1000000.0 ORDER BY dim) AS sv FROM (
+            SELECT cid, dim, (s - ((s % n) + n) % n) // n AS m_u6
+            FROM (SELECT cid, dim, SUM(x_u6) AS s, COUNT(*) AS n
+                  FROM comp GROUP BY cid, dim)
+        ) GROUP BY cid
+    ),
+    fin AS (
+        SELECT id, v, cid AS cluster_id FROM (
+            SELECT e.id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.id
+                       ORDER BY {nsim.format(a="e.v", b="c.sv")}, c.cid) AS rk
+            FROM e, cent2 c
+        ) WHERE rk = 1
+    ),
+    pr AS (
+        SELECT DISTINCT b.id AS id
+        FROM fin a JOIN fin b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id
+        WHERE {cos.format(a="a.v", b="b.v")} >= {threshold}
+    )
+    SELECT f.id AS vec_id, CAST(f.cluster_id AS INT) AS cluster_id,
+           (pr.id IS NOT NULL) AS pruned
+    FROM fin f LEFT JOIN pr ON f.id = pr.id
+    """
+
+
+@register("dedup_semantic_clusters", _semdedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup: deterministic k-means (seeded pick +
+    one exact-integer Lloyd step) confines the O(n^2) cosine prune to
+    cluster members — candidate volume ~ sum of squared cluster sizes,
+    never corpus^2."""
+    from relex_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.40)
+
+
+# ---------------------------------------------------------------------------
 # Tier assembly: QUERIES/ORACLES (driver-facing, exactly 50, all
 # oracle-paired) + EXTRA_QUERIES/EXTRA_ORACLES (fine-grained originals,
 # checked by scripts/check_oracles.py).
@@ -4099,6 +4280,15 @@ EXTRA_COVERAGE: dict[str, str] = {
     "twin of driver-tier kg_canonical_triples (GCN scoring + "
     "canonicalization), golden-pinned at sf0.01 via "
     "scripts/regen_kg_goldens.py",
+    "x_pack_sequences": "standalone: training-batch assembly operator "
+    "(greedy fixed-token-budget packing) — new surface beyond the 50-query "
+    "driver window; recursive-CTE oracle replays the greedy recurrence",
+    "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
+    "the two-phase scale-safe cumsum is proven against a single-window "
+    "oracle over the same total order",
+    "dedup_semantic_clusters": "standalone: SemDeDup cluster-then-prune; "
+    "the underlying embedding-cosine prune operator is driver-checked via "
+    "dedup_embedding_cosine, the centroid machinery via ann_scale_paths",
     "q2_min_cost_supplier": "standalone: classical-operator breadth beyond "
     "the 50-query driver window (correlated subquery)",
     "q5_local_supplier_volume": "standalone: classical-operator breadth "

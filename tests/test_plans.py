@@ -134,3 +134,44 @@ def test_simhash_wide_plan_is_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_greedy_single_shuffle(spark):
+    """Greedy packing shuffles exactly once (the shard key) before the
+    per-shard FlatMapGroupsInPandas fill — nothing wide after it."""
+    from relex_spark.operators.packing import pack_greedy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # "simple" mode: one tree, so node-name counting is exact ("formatted"
+    # prints every node twice — tree + details)
+    plan = plan_of(pack_greedy(docs, budget=256, n_shards=8), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_token_budget_mix_no_global_sort(spark):
+    """The two-phase cumsum must never compile to a per-source global
+    Sort over the whole relation outside the (source, bucket) window
+    partitioning — i.e. the only Sort is the window's local sort, and the
+    only wide Exchange is the hash partitioning on (source, bucket)."""
+    from relex_spark.operators.packing import token_budget_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_budget_mix(docs, {"src1": 3000, "src4": 1200}, n_buckets=16)
+    plan = plan_of(out)
+    # window exchange is hashpartitioning on (source, bucket) — a
+    # rangepartitioning Exchange would be the global-sort anti-shape
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(source" in plan
+
+
+def test_semantic_dedup_prune_is_equi_join(spark):
+    """The within-cluster prune joins on cluster_id — a hash/sort-merge
+    equi-join, never a cartesian over the corpus; centroid assignment is
+    literal-array per-row argmin (no join, no window over the corpus)."""
+    from relex_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(semantic_dedup(emb, n_clusters=4, threshold=0.40))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
