@@ -627,3 +627,85 @@ def simhash_candidate_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", reduced from suffix
+    arrays to rolling n-grams): a token position is *duplicated* when the
+    n-gram starting there occurs >= min_count times corpus-wide; runs of
+    consecutive duplicated positions merge into maximal (start, end)
+    spans — the byte ranges a curation pass would cut or down-weight.
+
+    Output: (doc_id, span_start, span_end, n_dup_grams) with token-index
+    bounds [span_start, span_end) and the number of duplicated n-grams
+    the span absorbed.
+
+    Scale shape: the n-gram explode is narrow (per-row transform over a
+    sequence — no join); the global count is ONE map-side-combining hash
+    aggregate on the 60-bit gram hash; marking positions is an equi-join
+    of grams against the >=min_count hash set (shuffle proportional to
+    gram occurrences, never docs x grams); the island merge is a window
+    over only the DUPLICATED positions of each doc (post-filter, so its
+    exchange carries the duplicated subset, not the corpus).
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError(f"need n >= 1 and min_count >= 2, got {n}/{min_count}")
+    toks = split_ws(F.col(text_col))
+    # filter BEFORE projecting text away: sequence(0, negative) would
+    # otherwise generate a DESCENDING sequence for docs shorter than n
+    grams = (
+        docs.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        portable_hash64(
+                            F.concat_ws(" ", F.slice(toks, p + 1, n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    grams = grams.localCheckpoint(eager=False)  # two consumers: counts + mark
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    marked = grams.join(dup_hashes, "h").select(id_col, "p")
+    from pyspark.sql import Window
+
+    # two duplicated grams merge when their token coverages [p, p+n) touch
+    # or overlap, i.e. the position gap is <= n (not just consecutive p)
+    w = Window.partitionBy(id_col).orderBy("p")
+    islands = marked.withColumn(
+        "brk", F.when(F.col("p") - F.lag("p").over(w) > n, 1).otherwise(0)
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + n).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .drop("grp")
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )

@@ -4100,6 +4100,62 @@ def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.40) -> str:
     """
 
 
+_DUPSPAN_N = 5
+
+
+@register(
+    "text_dup_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(toks) - {_DUPSPAN_N} + 1),
+                          p -> struct_pack(
+                              p := p,
+                              h := {_H64.format(
+                                  x=f"array_to_string(toks[p+1:p+{_DUPSPAN_N}], ' ')"
+                              )}))) AS u
+            FROM t WHERE len(toks) >= {_DUPSPAN_N}
+        )
+    ),
+    dup AS (
+        SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h) WHERE c >= 2
+    ),
+    m AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+    flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > {_DUPSPAN_N} THEN 1 ELSE 0 END AS brk
+        FROM m
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + {_DUPSPAN_N} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (suffix-array dedup reduced to
+    rolling n-grams): maximal token ranges whose every 5-gram occurs
+    >= 2 times corpus-wide — the ranges a curation pass cuts or
+    down-weights. One map-side-combined gram-count aggregate + one
+    equi-join; the island merge windows only duplicated positions."""
+    from relex_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=_DUPSPAN_N, min_count=2
+    )
+
+
 @register("dedup_semantic_clusters", _semdedup_oracle())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup: deterministic k-means (seeded pick +
@@ -4286,6 +4342,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
     "the two-phase scale-safe cumsum is proven against a single-window "
     "oracle over the same total order",
+    "text_dup_spans": "standalone: exact-substring duplication spans "
+    "(rolling-n-gram reduction of suffix-array dedup); the hashed-n-gram "
+    "machinery is driver-checked via x_decontaminate and dedup_ngram_jaccard",
     "dedup_semantic_clusters": "standalone: SemDeDup cluster-then-prune; "
     "the underlying embedding-cosine prune operator is driver-checked via "
     "dedup_embedding_cosine, the centroid machinery via ann_scale_paths",

@@ -68,3 +68,27 @@ def test_bigram_lm_scores_golden(spark):
     assert rows[1]["mean_logp_u6"] == u6(math.log(0.5))
     assert rows[2]["mean_logp_u6"] == u6(math.log(0.5))
     assert rows[3]["mean_logp_u6"] == u6(math.log(1 / 3))
+
+
+def test_duplicate_ngram_spans_golden(spark):
+    """Hand-computed 3-gram duplication spans: cross-doc and within-doc
+    repeats, gap-<=n merging, gap->n splitting, and short docs skipped."""
+    from relex_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z a b c"),    # "a b c" at p0 and p6 (gap 6 > 3)
+            (2, "a b c d a b c d e"),    # dup positions 0,1,4,5 merge
+            (3, "too short"),            # < n tokens: no grams, no error
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_dup_grams"])
+        for r in duplicate_ngram_spans(docs, n=3, min_count=2).collect()
+    }
+    assert got == {
+        (1, 0): (3, 1),
+        (1, 6): (9, 1),
+        (2, 0): (8, 4),   # one maximal span [0, 8) absorbing 4 dup grams
+    }

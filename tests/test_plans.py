@@ -175,3 +175,16 @@ def test_semantic_dedup_prune_is_equi_join(spark):
     plan = plan_of(semantic_dedup(emb, n_clusters=4, threshold=0.40))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_spans_plan_no_cartesian(spark):
+    """Duplicated-gram marking is an equi-join on the gram hash; the
+    island window must partition by doc — never a cartesian or a global
+    (rangepartitioning) sort."""
+    from relex_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(duplicate_ngram_spans(docs, n=5, min_count=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
