@@ -169,3 +169,81 @@ def bigram_lm_scores(
             micro_units(F.col("_mean")).alias("mean_logp_u6"),
         )
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    quality_min_u6: int = 200_000,
+    contamination_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    pack_budget: int = 256,
+    pack_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full training-data curation recipe as ONE declarative plan:
+
+        quality filter -> benchmark decontamination -> exact dedup ->
+        near-dup prune -> per-source token-budget mix -> sequence packing
+
+    Every stage is the already-oracle-checked operator (quality_score,
+    benchmark_overlap, exact keep-min, jaccard_pairs, token_budget_mix,
+    pack_greedy) — this composes them with anti-join eliminations, so a
+    user runs the whole recipe without materializing intermediates.
+    The benchmark slice is ``doc_id % 31 == 0`` of the ORIGINAL corpus
+    (decontamination must see the raw benchmark even if quality would
+    have cut it). Output: (doc_id, source, shard, pack_id, pack_pos,
+    tok_count, cum_tokens) for the packed survivors.
+
+    Scale shape: each elimination is a hash/broadcast anti-join on the id
+    or a map-side filter; stage boundaries are lazy localCheckpoints so
+    the branching consumers (e.g. overlap reads the quality survivors
+    twice) don't recompute the upstream chain.
+    """
+    from relex_spark.operators.dedup import jaccard_pairs
+    from relex_spark.operators.packing import pack_greedy, token_budget_mix
+    from relex_spark.operators.textstats import micro_units, quality_score
+
+    # 1. quality floor (map-only filter; micro-unit compare = oracle-exact)
+    q = docs.where(
+        micro_units(quality_score(F.col(text_col))) >= quality_min_u6
+    ).localCheckpoint(eager=False)
+    # 2. decontamination vs the raw benchmark slice
+    bench = docs.where(F.col(id_col) % 31 == 0)
+    overlap = benchmark_overlap(
+        q, bench, shingle_n=3, threshold=contamination_threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    contaminated = overlap.where(F.col("contaminated")).select(id_col)
+    clean = q.join(contaminated, id_col, "left_anti")
+    # 3. exact dedup: keep the minimum id per md5(text)
+    keep = clean.groupBy(F.md5(text_col).alias("__h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    exact = clean.join(keep.select(id_col), id_col).localCheckpoint(eager=False)
+    # 4. near-dup prune: blocked Jaccard verify, drop the higher id
+    blocked = exact.withColumn("block", F.concat_ws("|", "lang", "source"))
+    pairs = jaccard_pairs(
+        blocked, "block", text_col=text_col, id_col=id_col,
+        shingle_n=3, threshold=jaccard_threshold,
+    )
+    nd = exact.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+    ).localCheckpoint(eager=False)
+    # 5. per-source token budgets
+    mixed = token_budget_mix(
+        nd, budgets, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    # 6. pack the mixed survivors
+    packed = pack_greedy(
+        nd.join(mixed.select(id_col), id_col),
+        budget=pack_budget, n_shards=pack_shards,
+        id_col=id_col, text_col=text_col,
+    )
+    return packed.join(
+        mixed.select(id_col, "source", "cum_tokens"), id_col
+    ).select(
+        id_col, "source", "shard", "pack_id", "pack_pos",
+        "tok_count", "cum_tokens",
+    )

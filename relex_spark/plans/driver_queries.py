@@ -4100,6 +4100,120 @@ def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.40) -> str:
     """
 
 
+def _curation_pipeline_oracle() -> str:
+    """Composed-CTE twin of curation.curation_pipeline: every stage reuses
+    the SAME SQL shape its standalone oracle pins (text_quality's score,
+    x_decontaminate's hashed-shingle overlap, dedup_exact's keep-min,
+    dedup_ngram_jaccard's blocked verify, x_token_budget_mix's window,
+    x_pack_sequences' greedy recursion), chained with anti-joins."""
+    g3 = _H64.format(x="array_to_string(toks[i+1:i+3], ' ')")
+    g_all = _H64.format(x="array_to_string(toks, ' ')")
+    sh = (
+        "list_distinct(CASE WHEN len(toks) >= 3 "
+        f"THEN list_transform(range(0, len(toks) - 2), i -> {g3}) "
+        f"ELSE [{g_all}] END)"
+    )
+    return f"""
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT * FROM t0
+        WHERE CAST(floor(
+            LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+            * (CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE) / len(toks))
+            * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> lower(t) IN ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks)))
+            * 1000000 + 0.5) AS BIGINT) >= 200000
+    ),
+    shq AS (SELECT doc_id, {sh} AS sh FROM q),
+    benchsh AS (
+        SELECT DISTINCT unnest({sh}) AS h FROM t0 WHERE doc_id % 31 = 0
+    ),
+    contaminated AS (
+        SELECT s.doc_id
+        FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shq) s
+        JOIN benchsh b ON s.h = b.h
+        GROUP BY s.doc_id, s.n
+        HAVING CAST(COUNT(*) AS DOUBLE) / n >= 0.5
+    ),
+    clean AS (
+        SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    exact AS (
+        SELECT * FROM clean
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    ),
+    blk AS (
+        SELECT doc_id AS id, lang || '|' || source AS block, {sh} AS sh
+        FROM exact
+    ),
+    dropped AS (
+        SELECT DISTINCT b.id FROM blk a JOIN blk b
+          ON a.block = b.block AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    nd AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id FROM dropped)),
+    mixbase AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(len(toks) AS BIGINT) AS tok_count,
+               {_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM nd WHERE source IN ('src1', 'src4', 'src7')
+    ),
+    mixcum AS (
+        SELECT doc_id, source, tok_count,
+               SUM(tok_count) OVER (
+                   PARTITION BY source ORDER BY h % 16, h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM mixbase
+    ),
+    mixed AS (
+        SELECT * FROM mixcum
+        WHERE cum_tokens - tok_count < CASE source WHEN 'src1' THEN 3000
+                                                   WHEN 'src4' THEN 1200
+                                                   ELSE 800 END
+    ),
+    d AS (
+        SELECT doc_id, source, tok_count, cum_tokens,
+               CAST({_H64.format(x="'pack:' || CAST(doc_id AS VARCHAR)")}
+                    % 8 AS INT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST({_H64.format(x="'pack:' || CAST(doc_id AS VARCHAR)")}
+                                     % 8 AS INT)
+                   ORDER BY doc_id) AS rn
+        FROM mixed
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, source, tok_count, cum_tokens,
+               CAST(0 AS BIGINT) AS pack_id, 0 AS pack_pos, tok_count AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.source, d.tok_count, d.cum_tokens,
+               CASE WHEN p.fill + d.tok_count <= 256
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + d.tok_count <= 256
+                    THEN p.pack_pos + 1 ELSE 0 END,
+               CASE WHEN p.fill + d.tok_count <= 256
+                    THEN p.fill + d.tok_count ELSE d.tok_count END
+        FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, source, shard, pack_id, CAST(pack_pos AS INT) AS pack_pos,
+           tok_count, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed
+    """
+
+
+@register("x_curation_pipeline", _curation_pipeline_oracle())
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation recipe as one declarative plan: quality
+    floor -> benchmark decontamination -> exact dedup -> near-dup prune ->
+    token-budget mix -> sequence packing, each stage the operator its
+    standalone query already oracle-checks."""
+    from relex_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"), dict(_MIX_BUDGETS))
+
+
 _DUPSPAN_N = 5
 
 
@@ -4342,6 +4456,10 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
     "the two-phase scale-safe cumsum is proven against a single-window "
     "oracle over the same total order",
+    "x_curation_pipeline": "standalone: end-to-end composition of six "
+    "driver-checked stages (text_quality, x_decontaminate, dedup_exact, "
+    "dedup_ngram_jaccard, x_token_budget_mix, x_pack_sequences) into one "
+    "declarative plan; the composed oracle chains the same per-stage SQL",
     "text_dup_spans": "standalone: exact-substring duplication spans "
     "(rolling-n-gram reduction of suffix-array dedup); the hashed-n-gram "
     "machinery is driver-checked via x_decontaminate and dedup_ngram_jaccard",

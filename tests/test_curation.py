@@ -92,3 +92,53 @@ def test_duplicate_ngram_spans_golden(spark):
         (1, 6): (9, 1),
         (2, 0): (8, 4),   # one maximal span [0, 8) absorbing 4 dup grams
     }
+
+
+def test_curation_pipeline_each_stage_eliminates(spark):
+    """One planted document per elimination stage: low quality, benchmark
+    contamination, exact duplicate, near duplicate, over-budget — the
+    survivors come out packed with (shard, pack_id, pack_pos)."""
+    import hashlib
+
+    from relex_spark.operators.curation import curation_pipeline
+
+    def words(stem, n, stop_every=5):
+        # all-ALPHA tokens (the quality alpha check is ^[A-Za-z]+$ — a
+        # digit suffix would zero the ratio) + a stopword sprinkle
+        return " ".join(
+            "the" if i % stop_every == 0 else f"{stem}{chr(97 + i % 26)}{chr(97 + i // 26)}"
+            for i in range(n)
+        )
+
+    bench_text = words("bench", 40)
+    near_a = words("near", 40)
+    near_b = " ".join(near_a.split()[:-2] + ["changed", "tail"])  # J ~ 0.9
+    rows = [
+        (0, bench_text, "en", "srcA"),          # benchmark member (0 % 31 == 0)
+        (1, words("alpha", 40), "en", "srcA"),  # clean survivor
+        (2, bench_text, "en", "srcA"),          # contaminated (copies benchmark)
+        (3, words("dupe", 40), "en", "srcA"),   # exact-dup keeper (min id)
+        (4, words("dupe", 40), "en", "srcA"),   # exact-dup victim
+        (5, near_a, "en", "srcA"),              # near-dup keeper
+        (6, near_b, "en", "srcA"),              # near-dup victim (J >= 0.5)
+        (7, "short text", "en", "srcA"),        # low quality (2 tokens)
+        (8, words("beta", 40), "en", "srcB"),   # srcB budget race...
+        (9, words("gamma", 40), "en", "srcB"),  # ...only hash-first survives
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = curation_pipeline(
+        docs, {"srcA": 100_000, "srcB": 1}, pack_budget=64, pack_shards=2
+    ).collect()
+    got_ids = {r["doc_id"] for r in out}
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    srcb_first = min((8, 9), key=lambda i: (h64(f"mix:{i}") % 16, h64(f"mix:{i}"), i))
+    assert got_ids == {1, 3, 5, srcb_first}
+    # packed output invariants: every multi-doc pack fits the budget
+    fills = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["pack_id"]), []).append(r["tok_count"])
+    for toks in fills.values():
+        assert len(toks) == 1 or sum(toks) <= 64
