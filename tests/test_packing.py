@@ -75,6 +75,10 @@ def test_pack_greedy_invariants_and_determinism(spark):
         for r in packed.collect()
     }
     assert again == base
+    # the session is shared across test modules: leaving this cached would
+    # let Catalyst substitute InMemoryTableScan into OTHER tests'
+    # identically-shaped pack plans (it broke the plan-shape test)
+    packed.unpersist()
 
 
 def test_token_budget_mix_python_replay(spark):

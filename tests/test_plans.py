@@ -143,8 +143,10 @@ def test_pack_greedy_single_shuffle(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     # "simple" mode: one tree, so node-name counting is exact ("formatted"
-    # prints every node twice — tree + details)
-    plan = plan_of(pack_greedy(docs, budget=256, n_shards=8), mode="simple")
+    # prints every node twice — tree + details). Parameters deliberately
+    # differ from every other test's pack call: a cached identical plan
+    # elsewhere would substitute InMemoryTableScan here and hide the shape.
+    plan = plan_of(pack_greedy(docs, budget=200, n_shards=4), mode="simple")
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
 
