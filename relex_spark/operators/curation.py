@@ -181,6 +181,7 @@ def curation_pipeline(
     pack_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """The full training-data curation recipe as ONE declarative plan:
 
@@ -193,7 +194,9 @@ def curation_pipeline(
     user runs the whole recipe without materializing intermediates.
     The benchmark slice is ``doc_id % 31 == 0`` of the ORIGINAL corpus
     (decontamination must see the raw benchmark even if quality would
-    have cut it). Output: (doc_id, source, shard, pack_id, pack_pos,
+    have cut it). Requires the ``block_cols`` columns (the near-dup
+    blocking key) and a ``source`` column (the mix stratum) besides
+    id/text. Output: (<id_col>, source, shard, pack_id, pack_pos,
     tok_count, cum_tokens) for the packed survivors.
 
     Scale shape: each elimination is a hash/broadcast anti-join on the id
@@ -201,7 +204,7 @@ def curation_pipeline(
     the branching consumers (e.g. overlap reads the quality survivors
     twice) don't recompute the upstream chain.
     """
-    from relex_spark.operators.dedup import jaccard_pairs
+    from relex_spark.operators.dedup import exact_dedup_groups, jaccard_pairs
     from relex_spark.operators.packing import pack_greedy, token_budget_mix
     from relex_spark.operators.textstats import micro_units, quality_score
 
@@ -217,13 +220,14 @@ def curation_pipeline(
     )
     contaminated = overlap.where(F.col("contaminated")).select(id_col)
     clean = q.join(contaminated, id_col, "left_anti")
-    # 3. exact dedup: keep the minimum id per md5(text)
-    keep = clean.groupBy(F.md5(text_col).alias("__h")).agg(
-        F.min(id_col).alias(id_col)
+    # 3. exact dedup: keep the minimum id per md5(text) — the SAME
+    # operator dedup_exact oracle-checks, not a reimplementation
+    keep = exact_dedup_groups(clean, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
     )
-    exact = clean.join(keep.select(id_col), id_col).localCheckpoint(eager=False)
+    exact = clean.join(keep, id_col).localCheckpoint(eager=False)
     # 4. near-dup prune: blocked Jaccard verify, drop the higher id
-    blocked = exact.withColumn("block", F.concat_ws("|", "lang", "source"))
+    blocked = exact.withColumn("block", F.concat_ws("|", *block_cols))
     pairs = jaccard_pairs(
         blocked, "block", text_col=text_col, id_col=id_col,
         shingle_n=3, threshold=jaccard_threshold,

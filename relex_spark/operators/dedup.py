@@ -27,14 +27,16 @@ from relex_spark.functions.text import portable_hash64, split_ws
 MERSENNE = 2305843009213693951  # 2^61 - 1; signature values stay < 60 bits
 
 
-def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: md5-groupBy; keep the minimum doc_id per group.
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5-groupBy; keep the minimum id per group.
 
     Output: text_hash, keep_id, n_dups."""
     return (
         docs.groupBy(F.md5(text_col).alias("text_hash"))
         .agg(
-            F.min("doc_id").alias("keep_id"),
+            F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_dups"),
         )
     )

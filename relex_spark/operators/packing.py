@@ -24,8 +24,9 @@ rejected.
 ``token_budget_mix`` needs a cumulative token sum in hash order per
 source. A naive window over ``ORDER BY hash`` sorts each source
 globally; instead the cumsum is two-phase: (1) per-(source, bucket)
-partial token sums — a tiny aggregate (n_sources x n_buckets rows)
-collected and turned into broadcast bucket offsets; (2) a window only
+partial token sums — a tiny aggregate (n_sources x n_buckets rows) whose
+per-bucket offsets come from a window over that aggregate itself and are
+broadcast-joined back (fully lazy — no driver collect); (2) a window only
 *within* each (source, bucket) plus the offset. No global sort; the
 widest shuffle is bounded by the bucket granularity, and a skewed
 source spreads across all its buckets.
@@ -39,11 +40,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from relex_spark.functions.text import portable_hash64, split_ws
-
-_PACK_SCHEMA = (
-    "doc_id bigint, shard int, pack_id bigint, pack_pos int, tok_count bigint"
-)
-
 
 def _pack_one_shard(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     """Greedy fill of one shard (rows pre-sorted by doc_id): a document
@@ -84,12 +80,12 @@ def pack_greedy(
     portable hash of the id, the within-shard order is the id itself, so
     reruns and repartitionings produce the identical packing.
 
-    Output: (doc_id, shard, pack_id, pack_pos, tok_count).
+    Output: (<id_col>, shard, pack_id, pack_pos, tok_count).
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(f"budget/n_shards must be positive, got {budget}/{n_shards}")
     base = docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(id_col).cast("bigint").alias(id_col),
         F.pmod(
             portable_hash64(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
             F.lit(n_shards),
@@ -100,10 +96,14 @@ def pack_greedy(
     )
 
     def fill(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        packed = _pack_one_shard(pdf.sort_values("doc_id"), budget)
-        return packed[["doc_id", "shard", "pack_id", "pack_pos", "tok_count"]]
+        packed = _pack_one_shard(pdf.sort_values(id_col), budget)
+        return packed[[id_col, "shard", "pack_id", "pack_pos", "tok_count"]]
 
-    return base.groupBy("shard").applyInPandas(fill, schema=_PACK_SCHEMA)
+    schema = (
+        f"{id_col} bigint, shard int, pack_id bigint, pack_pos int, "
+        "tok_count bigint"
+    )
+    return base.groupBy("shard").applyInPandas(fill, schema=schema)
 
 
 def token_budget_mix(
@@ -122,19 +122,33 @@ def token_budget_mix(
     contributes at least one document and the overshoot is < one doc).
     Sources absent from ``budgets`` are dropped.
 
-    Output: (doc_id, source, tok_count, cum_tokens) for kept docs only.
+    Output: (<id_col>, source, tok_count, cum_tokens) for kept docs only.
 
-    The cumulative sum is two-phase (see module docstring): per-bucket
-    partial sums are collected (tiny), converted to broadcast offsets,
-    and the window runs only within (source, bucket).
+    The cumulative sum is two-phase (see module docstring) and FULLY
+    LAZY: phase 1's per-(source, bucket) token sums stay a DataFrame
+    (n_sources x n_buckets rows); each bucket's offset is a window over
+    that tiny aggregate, broadcast-joined back; phase 2's window then
+    runs only within (source, bucket). Nothing executes at construction
+    time, and no O(sources x buckets) literal expression enters the plan.
     """
     if not budgets:
         raise ValueError("budgets must name at least one source")
+    bad = {s: b for s, b in budgets.items() if int(b) <= 0}
+    if bad:
+        raise ValueError(
+            f"budgets must be positive (every budgeted source keeps at "
+            f"least one doc by contract), got {bad}"
+        )
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        sorted((s, int(b)) for s, b in budgets.items()),
+        schema="source string, __budget bigint",
+    )
     h = portable_hash64(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
     base = (
         docs.where(F.col(source_col).isin(*budgets.keys()))
         .select(
-            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(id_col).cast("bigint").alias(id_col),
             F.col(source_col).alias("source"),
             F.size(split_ws(F.col(text_col))).cast("bigint").alias("tok_count"),
             h.alias("__h"),
@@ -142,45 +156,42 @@ def token_budget_mix(
         .withColumn("__bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
         .localCheckpoint(eager=False)  # two consumers: offsets + window
     )
-    # phase 1: per-(source, bucket) token sums -> running offset of every
-    # bucket = total tokens of all lower buckets in the same source
-    part = (
+    # phase 1: per-(source, bucket) token sums; a bucket's offset is the
+    # total of all lower buckets in its source — a window over the TINY
+    # aggregate (n_sources x n_buckets rows), never over the corpus
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
         base.groupBy("source", "__bucket")
         .agg(F.sum("tok_count").alias("__bsum"))
-        .collect()
+        .select(
+            "source",
+            "__bucket",
+            F.coalesce(F.sum("__bsum").over(woff), F.lit(0))
+            .cast("bigint")
+            .alias("__off"),
+        )
     )
-    offsets: dict[tuple[str, int], int] = {}
-    by_source: dict[str, list] = {}
-    for row in part:
-        by_source.setdefault(row["source"], []).append(row)
-    for source, rows in by_source.items():
-        acc = 0
-        for row in sorted(rows, key=lambda r: r["__bucket"]):
-            offsets[(source, row["__bucket"])] = acc
-            acc += int(row["__bsum"])
-    off_expr = F.lit(0).cast("bigint")
-    for (source, bucket), off in sorted(offsets.items()):
-        off_expr = F.when(
-            (F.col("source") == source) & (F.col("__bucket") == bucket),
-            F.lit(off).cast("bigint"),
-        ).otherwise(off_expr)
     # phase 2: window only within (source, bucket) — no global sort
     w = (
         Window.partitionBy("source", "__bucket")
-        .orderBy("__h", "doc_id")
+        .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    budget_expr = F.lit(None).cast("bigint")
-    for source, budget in sorted(budgets.items()):
-        budget_expr = F.when(
-            F.col("source") == source, F.lit(int(budget)).cast("bigint")
-        ).otherwise(budget_expr)
-    cum = base.withColumn(
-        "cum_tokens", (F.sum("tok_count").over(w) + off_expr).cast("bigint")
+    cum = (
+        base.join(F.broadcast(offs), ["source", "__bucket"])
+        .join(F.broadcast(bdf), "source")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("tok_count").over(w) + F.col("__off")).cast("bigint"),
+        )
     )
     # keep iff the budget was not already met BEFORE this doc: the doc
     # crossing the line is kept, everything after it is cut
     return (
-        cum.where(F.col("cum_tokens") - F.col("tok_count") < budget_expr)
-        .select("doc_id", "source", "tok_count", "cum_tokens")
+        cum.where(F.col("cum_tokens") - F.col("tok_count") < F.col("__budget"))
+        .select(id_col, "source", "tok_count", "cum_tokens")
     )

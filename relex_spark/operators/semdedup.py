@@ -87,8 +87,12 @@ def semantic_dedup(
     seeds = seeded_centroids(vectors, n_clusters, id_col, vec_col)
     first = ivf_assign(base, seeds, nprobe=1, id_col="id", vec_col="v")
     refined = lloyd_refine_u6(first)
-    final = ivf_assign(base, refined, nprobe=1, id_col="id", vec_col="v").select(
-        F.col("id"), F.col("v"), F.col("centroid_id").alias("cluster_id")
+    final = (
+        ivf_assign(base, refined, nprobe=1, id_col="id", vec_col="v")
+        .select(F.col("id"), F.col("v"), F.col("centroid_id").alias("cluster_id"))
+        # three consumers (both prune sides + the output join): without the
+        # checkpoint the scan + k-centroid argmin would recompute each time
+        .localCheckpoint(eager=False)
     )
     a = final.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id"
