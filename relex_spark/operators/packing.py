@@ -41,8 +41,9 @@ from pyspark.sql import functions as F
 
 from relex_spark.functions.text import portable_hash64, split_ws
 
+
 def _pack_one_shard(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
-    """Greedy fill of one shard (rows pre-sorted by doc_id): a document
+    """Greedy fill of one shard (rows pre-sorted by the id column): a document
     joins the current pack iff it fits in the remaining budget, else it
     starts the next pack. A document longer than the whole budget gets a
     pack of its own (callers that truncate instead do so upstream)."""
