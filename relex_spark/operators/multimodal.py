@@ -359,3 +359,76 @@ def decode_features_real(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, schema=out_schema)
+
+
+def resize_images(
+    media: DataFrame, dst_w: int = 8, dst_h: int = 8
+) -> DataFrame:
+    """REAL image resize: decode each BMP payload and nearest-neighbor
+    resample to (dst_w, dst_h) with the explicit mapping
+    ``src_x = floor(X * w / dst_w)``, ``src_y = floor(Y * h / dst_h)``
+    (documented so an independent oracle can replay it). Output carries
+    exact-integer evidence of the resampled pixels — per-channel sums and
+    a position-weighted pixel hash — so a wrong decode, a BGR/RGB swap,
+    an off-by-one in the padding walk, or a different resampling rule all
+    change the result.
+
+    Output: (media_id, src_w, src_h, dst_w, dst_h, sum_r, sum_g, sum_b,
+    pix_hash) for image payloads only.
+
+    Scale shape: narrow mapInPandas on the scan partitioning (the
+    kind=='image' filter pushes into the scan); per-row cost is the
+    decode + an O(dst) gather, no shuffle anywhere.
+    """
+    if dst_w <= 0 or dst_h <= 0:
+        raise ValueError(f"dst dims must be positive, got {dst_w}x{dst_h}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("src_w", T.IntegerType()),
+            T.StructField("src_h", T.IntegerType()),
+            T.StructField("dst_w", T.IntegerType()),
+            T.StructField("dst_h", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pix_hash", T.LongType()),
+        ]
+    )
+    # dst-position weights: W[Y, X] = X + Y*dst_w + 1 (matches the oracle)
+    wgt = (
+        np.arange(dst_w, dtype=np.int64)[None, :]
+        + np.arange(dst_h, dtype=np.int64)[:, None] * dst_w
+        + 1
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id", "src_w", "src_h", "dst_w", "dst_h",
+            "sum_r", "sum_g", "sum_b", "pix_hash",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                h, w = px.shape[:2]
+                xs = (np.arange(dst_w, dtype=np.int64) * w) // dst_w
+                ys = (np.arange(dst_h, dtype=np.int64) * h) // dst_h
+                rs = px[np.ix_(ys, xs)].astype(np.int64)  # (dst_h, dst_w, 3)
+                r, g, b = rs[:, :, 0], rs[:, :, 1], rs[:, :, 2]
+                out["media_id"].append(mid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dst_w)
+                out["dst_h"].append(dst_h)
+                out["sum_r"].append(int(r.sum()))
+                out["sum_g"].append(int(g.sum()))
+                out["sum_b"].append(int(b.sum()))
+                out["pix_hash"].append(
+                    int(((r * 65536 + g * 256 + b) * wgt).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        extract, schema=out_schema
+    )

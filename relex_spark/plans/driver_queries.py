@@ -3058,6 +3058,51 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_resize",
+    """
+    WITH ids AS (SELECT range AS i FROM range(0, 128)),
+    img AS (SELECT i, 16 + i % 16 AS w, 8 + i % 8 AS h FROM ids WHERE i % 2 = 0),
+    px AS (
+        SELECT i, w, h, xx.x AS x, yy.y AS y,
+               (xx.x * w) // 8 AS sx, (yy.y * h) // 8 AS sy
+        FROM img,
+             (SELECT range AS x FROM range(0, 8)) xx,
+             (SELECT range AS y FROM range(0, 8)) yy
+    ),
+    c AS (
+        SELECT i, w, h, x, y,
+               (sx * 3 + i) % 256 AS r,
+               (sy * 7 + i * 2) % 256 AS g,
+               (sx + sy + i * 5) % 256 AS b
+        FROM px
+    )
+    SELECT i AS media_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(8 AS INT) AS dst_w, CAST(8 AS INT) AS dst_h,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((r * 65536 + g * 256 + b) * (x + y * 8 + 1)) AS BIGINT)
+               AS pix_hash
+    FROM c GROUP BY i, w, h
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: BMP payloads decoded by the stdlib codec, then
+    nearest-neighbor resampled to 8x8 in numpy. The oracle NEVER touches
+    the bytes — it replays the generator's closed-form pixel gradients
+    through the same documented resample mapping, so the decode, the
+    BGR->RGB/padding walk, and the resampling rule are all independently
+    pinned by exact-integer pixel sums and a position-weighted hash."""
+    from relex_spark.operators.multimodal import (
+        resize_images,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=128)
+    return resize_images(media, dst_w=8, dst_h=8)
+
+
 def _simhash_pairs_oracle() -> str:
     """Banded SimHash candidates + exact Hamming verify, from the same
     signature CTE as dedup_simhash."""
@@ -4456,6 +4501,10 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
     "the two-phase scale-safe cumsum is proven against a single-window "
     "oracle over the same total order",
+    "mm_resize": "standalone: real nearest-neighbor image resize over the "
+    "decoded BMPs; the driver window carries the decode path via "
+    "mm_real_decode — the resize oracle replays the generator's closed "
+    "forms through the documented resample mapping",
     "x_curation_pipeline": "standalone: end-to-end composition of six "
     "driver-checked stages (text_quality, x_decontaminate, dedup_exact, "
     "dedup_ngram_jaccard, x_token_budget_mix, x_pack_sequences) into one "

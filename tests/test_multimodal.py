@@ -111,3 +111,39 @@ def test_wav_decoder_matches_stdlib_wave(spark):
         ind = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
         rate, own = decode_wav(wav_bytes(mid))
         assert rate == 8000 and (ind == own).all()
+
+
+def test_resize_images_nearest_neighbor_replay(spark):
+    """resize_images vs an explicit per-pixel loop replay of the documented
+    mapping src = floor(dst * src_dim / dst_dim), on real decoded BMPs —
+    including an upscale (src_h == 8 -> dst 16) and a downscale."""
+    from relex_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        resize_images,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=8)
+    for dw, dh in ((8, 8), (4, 16)):
+        got = {
+            r["media_id"]: r.asDict()
+            for r in resize_images(media, dst_w=dw, dst_h=dh).collect()
+        }
+        assert set(got) == {0, 2, 4, 6}
+        for mid in got:
+            px = decode_bmp(bmp_bytes(mid))
+            h, w = px.shape[:2]
+            sr = sg = sb = ph = 0
+            for y in range(dh):
+                for x in range(dw):
+                    r, g, b = (
+                        int(v) for v in px[(y * h) // dh, (x * w) // dw]
+                    )
+                    sr, sg, sb = sr + r, sg + g, sb + b
+                    ph += (r * 65536 + g * 256 + b) * (x + y * dw + 1)
+            row = got[mid]
+            assert (row["src_w"], row["src_h"]) == (w, h)
+            assert (row["dst_w"], row["dst_h"]) == (dw, dh)
+            assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (sr, sg, sb)
+            assert row["pix_hash"] == ph
