@@ -432,3 +432,51 @@ def resize_images(
     return media.where(F.col("kind") == "image").mapInPandas(
         extract, schema=out_schema
     )
+
+
+def decimate_audio(media: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio downsample: decode each WAV payload and keep every
+    ``factor``-th sample (integer decimation x[::factor] — no filter, the
+    documented contract), emitting the new rate/length plus content
+    signals (rms, peak) over the decimated signal.
+
+    Oracle split (same policy as decode_features_real): rate_out and
+    n_out are closed-form in the generator params and SQL-recomputable;
+    the sample-level content (rms/peak of the decimated sine) depends on
+    libm sin(), which is NOT bit-portable across engines, so it is pinned
+    by the pure-numpy replay test instead of the DuckDB oracle.
+
+    Scale shape: narrow mapInPandas on the scan partitioning, O(n) per
+    payload, no shuffle.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("rate_out", T.IntegerType()),
+            T.StructField("n_out", T.IntegerType()),
+            T.StructField("rms_u6", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "rate_out", "n_out", "rms_u6", "peak")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = decode_wav(bytes(payload))
+                d = x[::factor].astype(np.float64) / 32768.0
+                out["media_id"].append(mid)
+                out["rate_out"].append(rate // factor)
+                out["n_out"].append(len(d))
+                out["rms_u6"].append(
+                    int(np.floor(np.sqrt(np.mean(d * d)) * 1_000_000 + 0.5))
+                )
+                out["peak"].append(int(np.max(np.abs(x[::factor]))))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        extract, schema=out_schema
+    )

@@ -3103,6 +3103,32 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, dst_w=8, dst_h=8)
 
 
+@register(
+    "mm_audio_decimate",
+    """
+    WITH ids AS (SELECT range AS i FROM range(0, 128)),
+    a AS (SELECT i, 256 + (i % 64) * 16 AS n FROM ids WHERE i % 2 = 1)
+    SELECT i AS media_id, CAST(8000 // 4 AS INT) AS rate_out,
+           CAST((n + 3) // 4 AS INT) AS n_out
+    FROM a
+    """,
+)
+def mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation (decode WAV, keep every 4th sample). The
+    query projects the closed-form-checkable columns (rate_out, n_out);
+    the decimated CONTENT (rms/peak) depends on libm sin() — not
+    bit-portable across engines — and is pinned by the numpy replay test
+    in tests/test_multimodal.py instead (the decode_features_real
+    policy)."""
+    from relex_spark.operators.multimodal import (
+        decimate_audio,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=128)
+    return decimate_audio(media, factor=4).select("media_id", "rate_out", "n_out")
+
+
 def _simhash_pairs_oracle() -> str:
     """Banded SimHash candidates + exact Hamming verify, from the same
     signature CTE as dedup_simhash."""
@@ -4501,6 +4527,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
     "the two-phase scale-safe cumsum is proven against a single-window "
     "oracle over the same total order",
+    "mm_audio_decimate": "standalone: real WAV decimation; the driver "
+    "window carries the audio decode path via mm_real_decode — header "
+    "fields oracle-checked, sample content pinned by the numpy replay test",
     "mm_resize": "standalone: real nearest-neighbor image resize over the "
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "

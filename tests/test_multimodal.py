@@ -147,3 +147,34 @@ def test_resize_images_nearest_neighbor_replay(spark):
             assert (row["dst_w"], row["dst_h"]) == (dw, dh)
             assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (sr, sg, sb)
             assert row["pix_hash"] == ph
+
+
+def test_decimate_audio_numpy_replay(spark):
+    """decimate_audio vs a direct numpy replay (decode + x[::k]) — pins
+    the decimated CONTENT (rms/peak) the SQL oracle cannot (libm sin is
+    not bit-portable), plus the header fields it can."""
+    import numpy as np
+
+    from relex_spark.operators.multimodal import (
+        decimate_audio,
+        decode_wav,
+        synthesize_real_media,
+        wav_bytes,
+    )
+
+    media = synthesize_real_media(spark, n=8)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decimate_audio(media, factor=4).collect()
+    }
+    assert set(got) == {1, 3, 5, 7}
+    for mid in got:
+        rate, x = decode_wav(wav_bytes(mid))
+        d = x[::4].astype(np.float64) / 32768.0
+        row = got[mid]
+        assert row["rate_out"] == rate // 4
+        assert row["n_out"] == len(d)
+        assert row["rms_u6"] == int(
+            np.floor(np.sqrt(np.mean(d * d)) * 1_000_000 + 0.5)
+        )
+        assert row["peak"] == int(np.max(np.abs(x[::4])))
