@@ -126,3 +126,73 @@ def test_softmax_rows_sum_to_one(b, c):
     p = softmax(rng.standard_normal((b, c)).astype(np.float32) * 5)
     np.testing.assert_allclose(p.sum(axis=1), 1.0, rtol=1e-5)
     assert (p >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (operators/packing._pack_one_shard): the pure
+# per-shard recurrence, property-tested without Spark.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=200),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_one_shard_greedy_invariants(toks, budget):
+    import pandas as pd
+
+    from relex_spark.operators.packing import _pack_one_shard
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(toks)), "shard": 0, "tok_count": toks}
+    )
+    out = _pack_one_shard(pdf, budget)
+    # row-preserving, order-preserving
+    assert list(out["doc_id"]) == list(range(len(toks)))
+    fills: dict[int, int] = {}
+    sizes: dict[int, int] = {}
+    for pid, pos, t in zip(out["pack_id"], out["pack_pos"], out["tok_count"]):
+        assert pos == sizes.get(pid, 0)  # positions contiguous from 0
+        sizes[pid] = sizes.get(pid, 0) + 1
+        fills[pid] = fills.get(pid, 0) + int(t)
+    # pack ids contiguous from 0 in encounter order
+    assert sorted(fills) == list(range(len(fills)))
+    # no multi-doc pack exceeds the budget; only oversized docs ride alone over it
+    for pid, fill in fills.items():
+        assert fill <= budget or sizes[pid] == 1
+    # GREEDY: a pack break happens ONLY when the doc truly didn't fit
+    prev_pid, prev_fill = 0, 0
+    for pid, t in zip(out["pack_id"], out["tok_count"]):
+        if pid != prev_pid:
+            assert prev_fill + int(t) > budget  # the break was forced
+            prev_pid, prev_fill = pid, int(t)
+        else:
+            prev_fill += int(t)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=100),
+    budget=st.integers(min_value=1, max_value=120),
+    cut=st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_one_shard_streaming_prefix_stability(toks, budget, cut):
+    """Greedy packing is a streaming recurrence: the packing of any prefix
+    equals the prefix of the whole packing (late-arriving shard data can
+    never retroactively change already-emitted packs)."""
+    import pandas as pd
+
+    from relex_spark.operators.packing import _pack_one_shard
+
+    cut = min(cut, len(toks) - 1)
+    full = _pack_one_shard(
+        pd.DataFrame({"doc_id": range(len(toks)), "shard": 0, "tok_count": toks}),
+        budget,
+    )
+    prefix = _pack_one_shard(
+        pd.DataFrame({"doc_id": range(cut), "shard": 0, "tok_count": toks[:cut]}),
+        budget,
+    )
+    assert list(prefix["pack_id"]) == list(full["pack_id"])[:cut]
+    assert list(prefix["pack_pos"]) == list(full["pack_pos"])[:cut]
