@@ -196,3 +196,38 @@ def token_budget_mix(
         cum.where(F.col("cum_tokens") - F.col("tok_count") < F.col("__budget"))
         .select(id_col, "source", "tok_count", "cum_tokens")
     )
+
+
+def epoch_order(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch reshuffles the
+    corpus by hashing (epoch, id) — a different but fully reproducible
+    permutation per epoch, with no RNG state to checkpoint. Documents land
+    in a shard (read in parallel by data loaders) and get a dense 1-based
+    position within it.
+
+    Output: (<id_col>, epoch, shard, ord) — ``ord`` dense per (epoch, shard).
+
+    Scale shape: one hash shuffle on the shard key + a per-shard window
+    (rank over the shard's rows only — shard count scales with the corpus,
+    so no global sort ever happens). The same two-phase trick as
+    token_budget_mix applies if a global contiguous index is ever needed.
+    """
+    if n_shards <= 0 or epoch < 0:
+        raise ValueError(f"need n_shards > 0 and epoch >= 0, got {n_shards}/{epoch}")
+    h = portable_hash64(
+        F.concat(F.lit(f"ep{epoch}:"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.lit(epoch).cast("int").alias("epoch"),
+        h.alias("__h"),
+    ).withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return base.select(
+        id_col, "epoch", "shard", F.row_number().over(w).cast("bigint").alias("ord")
+    )

@@ -4096,6 +4096,31 @@ def x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(_t(spark, sf_dir, "documents"), dict(_MIX_BUDGETS))
 
 
+@register(
+    "x_epoch_order",
+    f"""
+    WITH b AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_H64.format(x="'ep3:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id, CAST(3 AS INT) AS epoch,
+           CAST(h % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS BIGINT) AS ord
+    FROM b
+    """,
+)
+def x_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (epoch 3 here): hash of
+    (epoch, id) gives a reproducible permutation per epoch with no RNG
+    state to checkpoint; ordering is a per-shard window, never a global
+    sort."""
+    from relex_spark.operators.packing import epoch_order
+
+    return epoch_order(_t(spark, sf_dir, "documents"), epoch=3, n_shards=8)
+
+
 def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.40) -> str:
     """DuckDB twin of operators/semdedup.semantic_dedup: seeded pick by
     portable hash, argmin-cosine assignment, ONE Lloyd step in exact
@@ -4524,6 +4549,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_pack_sequences": "standalone: training-batch assembly operator "
     "(greedy fixed-token-budget packing) — new surface beyond the 50-query "
     "driver window; recursive-CTE oracle replays the greedy recurrence",
+    "x_epoch_order": "standalone: deterministic per-epoch training "
+    "shuffle; the same portable-hash order machinery is driver-checked "
+    "via x_stratified_sample and the pack/mix queries",
     "x_token_budget_mix": "standalone: data-recipe token-budget mixing; "
     "the two-phase scale-safe cumsum is proven against a single-window "
     "oracle over the same total order",

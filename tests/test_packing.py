@@ -121,3 +121,25 @@ def test_token_budget_mix_tiny_budget_keeps_one_doc(spark):
     out = token_budget_mix(docs, {"a": 1}, n_buckets=2).collect()
     # budget smaller than any doc: exactly the first doc in contract order
     assert len(out) == 1 and out[0]["source"] == "a"
+
+
+def test_epoch_order_permutation_properties(spark):
+    """Different epochs give different permutations; the same epoch is
+    stable under repartitioning; ord is dense 1..n per shard."""
+    from relex_spark.operators.packing import epoch_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e1 = {r["doc_id"]: (r["shard"], r["ord"]) for r in epoch_order(docs, 1).collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["ord"]) for r in epoch_order(docs, 2).collect()}
+    r1 = {
+        r["doc_id"]: (r["shard"], r["ord"])
+        for r in epoch_order(docs.repartition(7), 1).collect()
+    }
+    assert set(e1) == set(e2) == set(r1)     # a permutation, not a sample
+    assert e1 == r1                           # partitioning-independent
+    assert e1 != e2                           # epochs genuinely reshuffle
+    by_shard: dict[int, list[int]] = {}
+    for shard, ordn in e1.values():
+        by_shard.setdefault(shard, []).append(ordn)
+    for orders in by_shard.values():
+        assert sorted(orders) == list(range(1, len(orders) + 1))  # dense
