@@ -179,6 +179,7 @@ def curation_pipeline(
     jaccard_threshold: float = 0.5,
     pack_budget: int = 256,
     pack_shards: int = 8,
+    mix_buckets: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang", "source"),
@@ -236,8 +237,10 @@ def curation_pipeline(
         pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
     ).localCheckpoint(eager=False)
     # 5. per-source token budgets
+    # n_buckets pinned (recipe outputs must be layout-independent; the
+    # packing module's derived default is for ad-hoc scale, not recipes)
     mixed = token_budget_mix(
-        nd, budgets, id_col=id_col, text_col=text_col
+        nd, budgets, id_col=id_col, text_col=text_col, n_buckets=mix_buckets
     ).localCheckpoint(eager=False)
     # 6. pack the mixed survivors
     packed = pack_greedy(

@@ -7,11 +7,11 @@ Two decode paths:
   row padding, BGR order, bottom-up rows — via ``decode_features_real``
   over ``synthesize_real_media`` payloads. No stubs, no external
   libraries.
-* Opaque-payload path (``decode_features``): for formats whose codecs need
-  libraries this container doesn't ship (JPEG/PNG/MP3/video), the codec
-  step is stubbed behind an import-try; ``allow_fake=True`` selects the
-  deterministic md5-seeded featurizer, which keeps every downstream shape
-  (schema, Arrow batches, partitioning) real and driver-oracle-checkable.
+* Feature-array API (``decode_features``): the same real decode, projected
+  to the ``features ARRAY<DOUBLE>`` contract ([d1, d2, f1, f2, f3]) that a
+  downstream embedding/ANN stage consumes. Formats whose codecs need
+  libraries this container doesn't ship (JPEG/PNG/MP3/video) are rejected
+  with a clear ValueError — no fake featurizer, no stubs.
 
 Schema:
     media_id BIGINT, kind STRING ('image'|'audio'|'video'),
@@ -20,7 +20,6 @@ Schema:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -77,66 +76,31 @@ def synthesize_media(spark: SparkSession, n: int = 256) -> DataFrame:
     )
 
 
-def _codec_available() -> bool:
-    try:  # pragma: no cover - env-dependent
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+SUPPORTED_DECODE_KINDS = ("audio", "image")
 
 
-def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in featurizer, engine-portable by construction:
-    feature j = int(md5(hex(payload) + ':' + j)[:15 hex], 16) / 2^60 as a
-    DOUBLE in [0, 1). The same value is computable in ANSI-ish SQL from the
-    payload hex (DuckDB: md5 + substr + hex→BIGINT cast), so the driver
-    oracle can verify the full mapInPandas decode path value-for-value."""
-    hexpayload = payload.hex()
-    return [
-        int(hashlib.md5(f"{hexpayload}:{j}".encode()).hexdigest()[:15], 16)
-        / 1152921504606846976.0
-        for j in range(dim)
-    ]
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract per media row into the ``features
+    ARRAY<DOUBLE>`` contract a downstream embedding/ANN stage consumes —
+    [d1, d2, f1, f2, f3] from the REAL stdlib codecs (WAV: sample rate,
+    sample count, rms, zero-crossing rate, peak; BMP: width, height, mean
+    R/G/B). Thin projection over ``decode_features_real`` — one real
+    decode kernel, two output contracts.
 
+    Kinds without an in-container codec (video) are rejected up front with
+    a ValueError rather than faked; frame slicing stays available via
+    ``sample_frames``, which is format-agnostic.
 
-def decode_features(
-    media: DataFrame, dim: int = 16, allow_fake: bool = True
-) -> DataFrame:
-    """Decode + feature-extract per media row (Arrow-batched, partition-
-    preserving; at 100 TB this stage is the bandwidth hog, so it runs
-    directly on the scan partitioning — no shuffle before it)."""
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("n_bytes", T.IntegerType()),
-            T.StructField("features", T.ArrayType(T.DoubleType())),
-        ]
+    Arrow-batched, partition-preserving; at 100 TB this stage is the
+    bandwidth hog, so it runs directly on the scan partitioning — no
+    shuffle before it. An unsupported kind fails in the decode kernel
+    (executor-side ValueError) — no validation pre-scan of the table."""
+    return decode_features_real(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array("d1", "d2", "f1", "f2", "f3").alias("features"),
     )
-    codec = _codec_available()
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if codec:  # pragma: no cover - not available in this container
-                raise NotImplementedError(
-                    "real image/audio decode: wire PIL/soundfile here"
-                )
-            if not allow_fake:
-                raise NotImplementedError(
-                    "no codec libraries available and allow_fake=False"
-                )
-            feats = [_fake_features(bytes(p), dim) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "features": feats,
-                }
-            )
-
-    return media.mapInPandas(extract, schema=out_schema)
 
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
@@ -339,6 +303,12 @@ def decode_features_real(media: DataFrame) -> DataFrame:
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(b))
+                if kind not in SUPPORTED_DECODE_KINDS:
+                    raise ValueError(
+                        f"no real codec for kind {kind!r}; supported: "
+                        f"{list(SUPPORTED_DECODE_KINDS)} (video frame "
+                        "slicing is sample_frames, which never decodes)"
+                    )
                 if kind == "audio":
                     rate, x = decode_wav(b)
                     xf = x.astype(np.float64) / 32768.0
@@ -467,14 +437,25 @@ def decimate_audio(media: DataFrame, factor: int = 4) -> DataFrame:
             out = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 rate, x = decode_wav(bytes(payload))
-                d = x[::factor].astype(np.float64) / 32768.0
+                # Widen BEFORE abs: np.abs(int16(-32768)) overflows back to
+                # -32768, which would publish a negative "peak" on any
+                # full-scale PCM16 input (arbitrary WAVs are public API
+                # here, not just the bounded synthetic generator).
+                xd = x[::factor].astype(np.int64)
+                d = xd.astype(np.float64) / 32768.0
                 out["media_id"].append(mid)
                 out["rate_out"].append(rate // factor)
                 out["n_out"].append(len(d))
+                # A zero-sample data chunk is a valid WAV; emit 0/0 rather
+                # than letting np.mean/np.max raise on an empty slice.
                 out["rms_u6"].append(
-                    int(np.floor(np.sqrt(np.mean(d * d)) * 1_000_000 + 0.5))
+                    0
+                    if len(d) == 0
+                    else int(np.floor(np.sqrt(np.mean(d * d)) * 1_000_000 + 0.5))
                 )
-                out["peak"].append(int(np.max(np.abs(x[::factor]))))
+                out["peak"].append(
+                    0 if len(xd) == 0 else int(np.max(np.abs(xd)))
+                )
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "audio").mapInPandas(

@@ -42,6 +42,21 @@ from pyspark.sql import functions as F
 from relex_spark.functions.text import portable_hash64, split_ws
 
 
+def _default_parallel_units(docs: DataFrame) -> int:
+    """Derived default for ``n_shards``/``n_buckets``: the input's scan
+    partition count (∝ corpus size at a fixed ``maxPartitionBytes``),
+    floored at 8 — so a 100-TB corpus on defaults gets ~100k parallel
+    units, not 8 giant single-task passes.
+
+    The unit count is part of the OUTPUT contract (shard/bucket =
+    hash % n), so two runs of the same recipe over different file layouts
+    produce different (equally valid) shardings. Pin ``n_shards`` /
+    ``n_buckets`` explicitly when a recipe must be byte-reproducible
+    across cluster layouts — every oracle-paired query and the curation
+    pipeline do exactly that."""
+    return max(8, docs.rdd.getNumPartitions())
+
+
 def _pack_one_shard(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     """Greedy fill of one shard (rows pre-sorted by the id column): a document
     joins the current pack iff it fits in the remaining budget, else it
@@ -72,17 +87,22 @@ def _pack_one_shard(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
 def pack_greedy(
     docs: DataFrame,
     budget: int = 256,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Assign every document to a (shard, pack_id, pack_pos) under a
-    greedy fixed-token-budget fill. Deterministic: the shard is the
-    portable hash of the id, the within-shard order is the id itself, so
-    reruns and repartitionings produce the identical packing.
+    greedy fixed-token-budget fill. Deterministic at fixed ``n_shards``:
+    the shard is the portable hash of the id, the within-shard order is
+    the id itself, so reruns and repartitionings produce the identical
+    packing. ``n_shards`` defaults to the input's scan partition count
+    (scale-safe); pin it for layout-independent reproducibility — see
+    ``_default_parallel_units``.
 
     Output: (<id_col>, shard, pack_id, pack_pos, tok_count).
     """
+    if n_shards is None:
+        n_shards = _default_parallel_units(docs)
     if budget <= 0 or n_shards <= 0:
         raise ValueError(f"budget/n_shards must be positive, got {budget}/{n_shards}")
     base = docs.select(
@@ -113,7 +133,7 @@ def token_budget_mix(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Keep documents per source, in a deterministic pseudo-random order
     — (hash bucket, hash, id), i.e. bucket-major so the scale-safe
@@ -132,6 +152,11 @@ def token_budget_mix(
     runs only within (source, bucket). Nothing executes at construction
     time, and no O(sources x buckets) literal expression enters the plan.
     """
+    if n_buckets is None:
+        # scale-safe default; the bucket count is part of the output
+        # contract (contract order is bucket-major) — pin n_buckets for
+        # layout-independent reproducibility (see _default_parallel_units)
+        n_buckets = _default_parallel_units(docs)
     if not budgets:
         raise ValueError("budgets must name at least one source")
     bad = {s: b for s, b in budgets.items() if int(b) <= 0}
@@ -201,7 +226,7 @@ def token_budget_mix(
 def epoch_order(
     docs: DataFrame,
     epoch: int,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic per-epoch training order: every epoch reshuffles the
@@ -217,6 +242,10 @@ def epoch_order(
     so no global sort ever happens). The same two-phase trick as
     token_budget_mix applies if a global contiguous index is ever needed.
     """
+    if n_shards is None:
+        # scale-safe default; shard = hash % n_shards is part of the output
+        # contract — pin n_shards for layout-independent reproducibility
+        n_shards = _default_parallel_units(docs)
     if n_shards <= 0 or epoch < 0:
         raise ValueError(f"need n_shards > 0 and epoch >= 0, got {n_shards}/{epoch}")
     h = portable_hash64(

@@ -1705,44 +1705,57 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_HEXPAYLOAD = " || ".join(
-    f"md5(CAST(range AS VARCHAR) || ':{i}')" for i in range(8)
-)
-
-_MM_H64 = "CAST(('0x' || substr(md5(hexpayload || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)"
-
-
 @register(
     "mm_decode_features",
-    f"""
-    WITH media AS (
-        SELECT range AS media_id,
-               (['image','audio','video'])[CAST(range % 3 AS INT) + 1] AS kind,
-               {_MM_HEXPAYLOAD} AS hexpayload
-        FROM range(0, 256)
+    """
+    WITH ids AS (SELECT range AS i FROM range(0, 128)),
+    p AS (
+        SELECT i,
+               CASE WHEN i % 2 = 1 THEN 'audio' ELSE 'image' END AS kind,
+               256 + (i % 64) * 16 AS n_samples,
+               16 + i % 16 AS w,
+               8 + i % 8 AS h
+        FROM ids
     )
-    SELECT media_id, kind, CAST(128 AS INT) AS n_bytes,
-           array_to_string(list_transform(range(0, 16), j ->
-             CAST(CAST(floor({_MM_H64} / 1152921504606846976.0 * 1000000.0 + 0.5)
-                  AS BIGINT) AS VARCHAR)), ',') AS features_u6
-    FROM media
+    SELECT i AS media_id, kind,
+           CAST(CASE WHEN kind = 'audio' THEN 44 + 2 * n_samples
+                ELSE 54 + ((w * 3 + 3) - (w * 3 + 3) % 4) * h END AS INT)
+             AS n_bytes,
+           CAST(5 AS INT) AS n_features,
+           CAST(CASE WHEN kind = 'audio' THEN 8000 ELSE w END * 1000000
+                AS BIGINT) AS f0_u6,
+           CAST(CASE WHEN kind = 'audio' THEN n_samples ELSE h END * 1000000
+                AS BIGINT) AS f1_u6
+    FROM p
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: binary payload → Arrow-batched feature extraction
-    (deterministic engine-portable featurizer; real codec stubbed — see
-    operators/multimodal.py). The feature vector is projected to
-    micro-unit integers joined as CSV so the result is hashable and the
-    DuckDB oracle can recompute it exactly from the payload hex."""
-    from relex_spark.operators.multimodal import decode_features, synthesize_media
+    """Multimodal feature-array API: REAL WAV/BMP decode projected to the
+    ``features ARRAY<DOUBLE>`` contract ([d1, d2, f1, f2, f3] — see
+    operators/multimodal.py decode_features). The oracle recomputes the
+    header-derived array positions (features[0]/[1] = sample rate/count or
+    width/height) from the generator's closed forms in exact micro-units;
+    the DSP positions ([2..4]) depend on libm and are pinned by the
+    roundtrip tests in tests/test_multimodal.py — the same oracle split as
+    mm_real_decode, here certifying the array packing rather than the
+    column projection."""
+    from relex_spark.operators.multimodal import (
+        decode_features,
+        synthesize_real_media,
+    )
 
-    feats = decode_features(synthesize_media(spark, 256), dim=16)
-    u6 = F.transform(
-        F.col("features"),
-        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").cast("string"),
+    feats = decode_features(synthesize_real_media(spark, n=128))
+    u6 = lambda i: (  # noqa: E731 - exact: header fields are whole numbers
+        F.floor(F.element_at("features", i) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
     )
     return feats.select(
-        "media_id", "kind", "n_bytes", F.array_join(u6, ",").alias("features_u6")
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        u6(1).alias("f0_u6"),
+        u6(2).alias("f1_u6"),
     )
 
 
@@ -4093,7 +4106,9 @@ def x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     single window over the same total order proves the phases compose."""
     from relex_spark.operators.packing import token_budget_mix
 
-    return token_budget_mix(_t(spark, sf_dir, "documents"), dict(_MIX_BUDGETS))
+    return token_budget_mix(
+        _t(spark, sf_dir, "documents"), dict(_MIX_BUDGETS), n_buckets=16
+    )
 
 
 @register(
@@ -4410,12 +4425,16 @@ DRIVER_TIER = [
     "e4_semeval_official",
     "e7_trial_summary",
     "e8_rep_cache_dedupe",
-    # dedup stack
+    # dedup stack (r5 rotation: the production 64-bit SimHash width,
+    # SemDeDup, and exact-substring spans take the hard driver signal;
+    # the 16-bit demo and the brute-force cosine variant remain
+    # judge-swept in the EXTRA tier)
     "dedup_exact",
     "dedup_lsh_verified",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
+    "dedup_simhash_wide",
+    "dedup_semantic_clusters",
+    "text_dup_spans",
     "dedup_keep_best",
     # similarity search
     "ann_cosine_topk",
@@ -4425,7 +4444,10 @@ DRIVER_TIER = [
     "text_repetition",
     "text_pii_redact",
     "text_tfidf_keywords",
-    # curation / pipeline ops
+    # curation / pipeline ops (r5 rotation: the end-to-end curation
+    # recipe and sequence packing take driver slots)
+    "x_curation_pipeline",
+    "x_pack_sequences",
     "x_lm_score",
     "x_learn_phrases",
     "x_decontaminate",
@@ -4437,14 +4459,14 @@ DRIVER_TIER = [
     "x_pagerank",
     "x_incremental_merge",
     "events_tumbling_window",
-    # multimodal
+    # multimodal (mm_sample_frames rotated to EXTRA in r5 — pure-SQL
+    # slicing; the decode path keeps its driver slot via mm_real_decode)
     "mm_real_decode",
-    "mm_sample_frames",
-    # classical-operator breadth
+    # classical-operator breadth (q_pivot_event_matrix and
+    # q_percentiles_corr rotated to EXTRA in r5 to make room for the
+    # marquee LLM-pipeline operators; still judge-swept every round)
     "w_window_functions",
     "q_cube_events",
-    "q_pivot_event_matrix",
-    "q_percentiles_corr",
     "j_set_semi",
     "f_scalar_functions",
 ]
@@ -4527,15 +4549,30 @@ EXTRA_COVERAGE: dict[str, str] = {
     "dedup_minhash_lsh": "standalone: same MinHash+LSH operator is "
     "driver-checked via dedup_lsh_verified (verified formulation)",
     "dedup_simhash": "standalone: 16-bit unrolled-oracle demo; the driver "
-    "window carries dedup_simhash_pairs over the same operator",
-    "dedup_simhash_wide": "standalone: production 64-bit width of "
-    "driver-tier dedup_simhash_pairs; banded-join plan pinned in "
-    "tests/test_plans.py",
+    "window carries dedup_simhash_wide (the production 64-bit width) over "
+    "the same operator",
+    "dedup_simhash_pairs": "standalone: 16-bit collision-dense DEMO width "
+    "(documented anti-pattern exhibit); the production 64-bit banded path "
+    "holds the driver slot via dedup_simhash_wide (r5 rotation)",
+    "dedup_embedding_cosine": "standalone: brute-force embedding-cosine "
+    "near-dup; the cosine-prune machinery is driver-checked via "
+    "dedup_semantic_clusters (within-cluster prune) and ann_cosine_topk "
+    "(same JVM-side dot product) — rotated to EXTRA in r5",
+    "mm_sample_frames": "standalone: pure-SQL frame slicing (never "
+    "decodes); the multimodal decode path is driver-checked via "
+    "mm_real_decode — rotated to EXTRA in r5",
+    "q_pivot_event_matrix": "standalone: classical-operator breadth "
+    "(pivot) — rotated to EXTRA in r5; q_part_brand_revenue sweeps the "
+    "same operator",
+    "q_percentiles_corr": "standalone: classical-operator breadth "
+    "(exact-integer power-sum corr/stddev + percentiles) — rotated to "
+    "EXTRA in r5",
     "dedup_cluster_assign": "standalone: transitive-closure clustering; the "
     "same connected-components operator is driver-checked via "
     "kg_canonical_pairs",
-    "mm_decode_features": "standalone: stub-codec feature plumbing; the "
-    "real-codec path is driver-checked via mm_real_decode",
+    "mm_decode_features": "standalone: the features-ARRAY output contract "
+    "over the same real codecs; the decode path itself is driver-checked "
+    "via mm_real_decode",
     "x_streaming_window_counts": "standalone: real readStream path whose "
     "batch twin events_tumbling_window is driver-checked; the streaming "
     "merge path is driver-checked via x_streaming_canonical_merge",
@@ -4546,9 +4583,6 @@ EXTRA_COVERAGE: dict[str, str] = {
     "twin of driver-tier kg_canonical_triples (GCN scoring + "
     "canonicalization), golden-pinned at sf0.01 via "
     "scripts/regen_kg_goldens.py",
-    "x_pack_sequences": "standalone: training-batch assembly operator "
-    "(greedy fixed-token-budget packing) — new surface beyond the 50-query "
-    "driver window; recursive-CTE oracle replays the greedy recurrence",
     "x_epoch_order": "standalone: deterministic per-epoch training "
     "shuffle; the same portable-hash order machinery is driver-checked "
     "via x_stratified_sample and the pack/mix queries",
@@ -4562,16 +4596,6 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
-    "x_curation_pipeline": "standalone: end-to-end composition of six "
-    "driver-checked stages (text_quality, x_decontaminate, dedup_exact, "
-    "dedup_ngram_jaccard, x_token_budget_mix, x_pack_sequences) into one "
-    "declarative plan; the composed oracle chains the same per-stage SQL",
-    "text_dup_spans": "standalone: exact-substring duplication spans "
-    "(rolling-n-gram reduction of suffix-array dedup); the hashed-n-gram "
-    "machinery is driver-checked via x_decontaminate and dedup_ngram_jaccard",
-    "dedup_semantic_clusters": "standalone: SemDeDup cluster-then-prune; "
-    "the underlying embedding-cosine prune operator is driver-checked via "
-    "dedup_embedding_cosine, the centroid machinery via ann_scale_paths",
     "q2_min_cost_supplier": "standalone: classical-operator breadth beyond "
     "the 50-query driver window (correlated subquery)",
     "q5_local_supplier_volume": "standalone: classical-operator breadth "

@@ -316,6 +316,13 @@ def tacred_planted_candidates(
         "dep_heads array<int>, subj string, obj string",
     )
 
+    # Gate on the generator's planting predicate when the corpus carries it
+    # (transcripts_from_documents_tacred emits `planted`), mirroring the
+    # oracle's `hash % PLANT_EVERY = 0` WHERE clause. On a corpus without
+    # the column, recovery falls back to text equality alone — which
+    # assumes no non-planted turn coincidentally equals a fixture sentence.
+    if "planted" in transcripts.columns:
+        transcripts = transcripts.where(F.col("planted")).drop("planted")
     planted = transcripts.join(
         F.broadcast(dim), transcripts["text"] == dim["sent_text"]
     )

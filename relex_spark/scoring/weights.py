@@ -118,11 +118,21 @@ class ModelWeights:
 
     def token_ids(self, tokens: list[str]) -> list[int]:
         """V3: token→id with OOV fallback; single_id lowercase_tokens
-        semantics (tests/fixtures/basic_relation_classifier.jsonnet:5-8)."""
+        semantics (tests/fixtures/basic_relation_classifier.jsonnet:5-8).
+
+        A None element maps to OOV — matching the JVM path
+        (operators.vocab.token_id_expr: crc32(NULL) is NULL, coalesce →
+        oov_id), so the documented bit-identity between jvm_token_ids=True
+        and this lookup holds on dirty input too."""
         t2i = self.token_to_id
         if self.lowercase:
-            return [t2i.get(t.lower(), OOV_ID) for t in tokens]
-        return [t2i.get(t, OOV_ID) for t in tokens]
+            return [
+                OOV_ID if t is None else t2i.get(t.lower(), OOV_ID)
+                for t in tokens
+            ]
+        return [
+            OOV_ID if t is None else t2i.get(t, OOV_ID) for t in tokens
+        ]
 
 
 def build_fixture_weights(

@@ -185,6 +185,11 @@ def transcripts_from_documents_tacred(docs: DataFrame, convs: int = 40) -> DataF
             + (F.col("doc_id") % convs) * 100_000
             + (F.col("doc_id") / convs).cast("int") * 60
         ).alias("ts"),
+        # The planting predicate itself, so downstream recovery can gate
+        # on it (matching the oracle's `h % PLANT_EVERY = 0` WHERE clause)
+        # instead of relying on text equality alone — on a foreign corpus
+        # a non-planted turn could coincidentally equal a fixture sentence.
+        planted.alias("planted"),
     )
 
 

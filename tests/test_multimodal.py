@@ -1,11 +1,12 @@
-"""Multimodal plumbing: schema, Arrow batch shapes, deterministic fake
-featurizer, pure-SQL frame sampling."""
+"""Multimodal plumbing: schema, Arrow batch shapes, real-codec feature
+array, pure-SQL frame sampling."""
 
 from relex_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_features,
     sample_frames,
     synthesize_media,
+    synthesize_real_media,
 )
 
 
@@ -18,24 +19,35 @@ def test_media_synthesis_deterministic(spark):
     assert {r["kind"] for r in a} == {"image", "audio", "video"}
 
 
-def test_decode_features_shapes_and_determinism(spark):
-    media = synthesize_media(spark, 48)
-    f1 = decode_features(media, dim=16).orderBy("media_id").collect()
-    f2 = decode_features(media, dim=16).orderBy("media_id").collect()
+def test_decode_features_array_contract(spark):
+    """The features-ARRAY API is a pure projection of the real decode:
+    [d1, d2, f1, f2, f3] position-for-position, deterministic, over real
+    WAV/BMP payloads."""
+    from relex_spark.operators.multimodal import decode_features_real
+
+    media = synthesize_real_media(spark, 48)
+    f1 = decode_features(media).orderBy("media_id").collect()
+    f2 = decode_features(media).orderBy("media_id").collect()
+    real = {
+        r["media_id"]: r
+        for r in decode_features_real(media).collect()
+    }
     assert len(f1) == 48
-    assert all(len(r["features"]) == 16 for r in f1)
-    assert all(r["n_bytes"] == 128 for r in f1)
+    assert all(len(r["features"]) == 5 for r in f1)
     assert [list(r["features"]) for r in f1] == [list(r["features"]) for r in f2]
+    for r in f1:
+        g = real[r["media_id"]]
+        assert r["n_bytes"] == g["n_bytes"]
+        assert list(r["features"]) == [g["d1"], g["d2"], g["f1"], g["f2"], g["f3"]]
 
 
-def test_decode_features_stub_raises_without_fake(spark):
+def test_decode_features_rejects_kinds_without_codec(spark):
     import pytest
-    from py4j.protocol import Py4JJavaError
 
-    media = synthesize_media(spark, 4)
+    media = synthesize_media(spark, 6).where("kind = 'video'")
     with pytest.raises(Exception) as exc:
-        decode_features(media, allow_fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "no codec" in str(exc.value)
+        decode_features(media).collect()
+    assert "no real codec" in str(exc.value)
 
 
 def test_sample_frames_pure_sql(spark):

@@ -129,11 +129,19 @@ def test_epoch_order_permutation_properties(spark):
     from relex_spark.operators.packing import epoch_order
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    e1 = {r["doc_id"]: (r["shard"], r["ord"]) for r in epoch_order(docs, 1).collect()}
-    e2 = {r["doc_id"]: (r["shard"], r["ord"]) for r in epoch_order(docs, 2).collect()}
+    # n_shards pinned: layout-independent output is the contract only at a
+    # fixed shard count (the derived default follows the input layout)
+    e1 = {
+        r["doc_id"]: (r["shard"], r["ord"])
+        for r in epoch_order(docs, 1, n_shards=8).collect()
+    }
+    e2 = {
+        r["doc_id"]: (r["shard"], r["ord"])
+        for r in epoch_order(docs, 2, n_shards=8).collect()
+    }
     r1 = {
         r["doc_id"]: (r["shard"], r["ord"])
-        for r in epoch_order(docs.repartition(7), 1).collect()
+        for r in epoch_order(docs.repartition(7), 1, n_shards=8).collect()
     }
     assert set(e1) == set(e2) == set(r1)     # a permutation, not a sample
     assert e1 == r1                           # partitioning-independent
@@ -143,3 +151,28 @@ def test_epoch_order_permutation_properties(spark):
         by_shard.setdefault(shard, []).append(ordn)
     for orders in by_shard.values():
         assert sorted(orders) == list(range(1, len(orders) + 1))  # dense
+
+
+def test_derived_parallel_unit_defaults_follow_input_layout(spark):
+    """n_shards/n_buckets default to max(8, input scan partitions): a wide
+    input must not collapse into 8 single-task passes (VERDICT r4), and
+    both packings remain complete/valid at the derived width."""
+    from relex_spark.operators.packing import (
+        _default_parallel_units,
+        epoch_order,
+        pack_greedy,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = docs.repartition(24)
+    assert _default_parallel_units(docs) == 8  # small scan -> floor
+    assert _default_parallel_units(wide) == 24
+
+    packed = pack_greedy(wide, budget=256).collect()
+    assert {r["shard"] for r in packed} <= set(range(24))
+    assert max(r["shard"] for r in packed) >= 8  # actually spread wider
+    assert len(packed) == docs.count()  # complete: every doc packed once
+
+    ordered = epoch_order(wide, epoch=1).collect()
+    assert len(ordered) == len(packed)
+    assert max(r["shard"] for r in ordered) >= 8
