@@ -869,6 +869,132 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(queries, emb, k=3, n_planes=4, dim=64)
 
 
+def _ann_recall_oracle() -> str:
+    """Recall@k oracle: replays the exact baseline, the LSH-bucketed path,
+    and the PARTIAL-PROBE IVF path (seeded-hash centroid pick, nearest-
+    centroid inverted lists, nprobe=2) entirely in SQL, then scores each
+    approximate path's hits against the exact pairs."""
+    lsh = _lsh_oracle()
+    h = "CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH exact_pairs_t AS (
+        SELECT query_id, neighbor_id FROM ({_ANN_COSINE_ORACLE})
+    ),
+    lsh_pairs AS (SELECT query_id, neighbor_id FROM ({lsh})),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    hsh AS (SELECT vec_id, v, {h} AS h FROM e),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
+               v AS cv
+        FROM (SELECT * FROM hsh ORDER BY h, vec_id LIMIT 8)
+    ),
+    csim AS (
+        SELECT x.vec_id, x.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY list_dot_product(x.v, c.cv)
+                            / (sqrt(list_dot_product(x.v, x.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.centroid_id ASC) AS crank
+        FROM e x, cent c
+    ),
+    lists AS (
+        SELECT vec_id AS neighbor_id, v AS cv2, centroid_id
+        FROM csim WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM csim WHERE crank <= 2 AND vec_id % 50 = 0
+    ),
+    ivf_scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv2)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv2, cv2))), 6) AS cos_sim
+        FROM probes JOIN lists USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    ),
+    ivf_pairs AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM ivf_scored)
+        WHERE rank <= 3
+    ),
+    paths AS (
+        SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh_pairs
+        UNION ALL
+        SELECT 'ivf_probe2', query_id, neighbor_id FROM ivf_pairs
+    ),
+    scored AS (
+        SELECT m.method,
+               CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM (VALUES ('lsh'), ('ivf_probe2')) m(method)
+        CROSS JOIN exact_pairs_t ex
+        LEFT JOIN paths p
+          ON p.method = m.method AND p.query_id = ex.query_id
+         AND p.neighbor_id = ex.neighbor_id
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+           CAST(SUM(hit) AS BIGINT) AS hit_pairs,
+           CAST(floor(SUM(hit) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+               AS recall_u6
+    FROM scored GROUP BY method
+    """
+
+
+@register("ann_recall_vs_exact", _ann_recall_oracle())
+def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the bucketed ANN scale paths against the exact cosine
+    baseline, engine-checked (VERDICT r4: the accuracy/cost trade-off was
+    previously pytest-pinned only). LSH probes one hyperplane bucket; IVF
+    probes 2 of 8 seeded-centroid lists — both sub-1.0-recall paths whose
+    hit counts the oracle recomputes end-to-end in SQL."""
+    from relex_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(queries, emb, k=3).select("query_id", "neighbor_id")
+    paths = {
+        "lsh": lsh_bucketed_topk(queries, emb, k=3, n_planes=4, dim=64),
+        "ivf_probe2": ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2),
+    }
+    outs = []
+    for method in sorted(paths):
+        approx = (
+            paths[method]
+            .select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        lbl = exact.join(approx, ["query_id", "neighbor_id"], "left")
+        outs.append(
+            lbl.groupBy(F.lit(method).alias("method")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("exact_pairs"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("hit_pairs"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.withColumn(
+        "recall_u6",
+        F.floor(
+            F.col("hit_pairs") * F.lit(1000000.0) / F.col("exact_pairs")
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+
+
 @register(
     "text_quality",
     rf"""
@@ -1114,6 +1240,8 @@ def e8_rep_cache_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
 
 
 @register(
@@ -1873,6 +2001,60 @@ def m9_bilstm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: BiLSTM (seq2seq_pool) relation scoring over the SemEval fixture
     (batch-independence + span-sensitivity pinned in tests/test_encoders.py)."""
     return _fixture_scored(spark, "bilstm")
+
+
+_PROBE_COLS = [
+    ("task", "VARCHAR"),
+    ("direction", "INT"),
+    ("n", "BIGINT"),
+    ("slope_num", "BIGINT"),
+    ("slope_den", "BIGINT"),
+    ("intercept_u6", "BIGINT"),
+    ("r2_u6", "BIGINT"),
+]
+
+
+@register(
+    "e8_probe_scores",
+    _golden_oracle(
+        _PROBE_COLS,
+        [
+            ("argument_order", 0, 10, 0, 244145945, 1000000, 0),
+            ("argument_order", 1, 10, 0, 870693225, 1000000, 0),
+            ("argument_order", 2, 10, 0, 410179896, 1000000, 0),
+            ("entity_distance", 0, 10, 108260, 1702479380, 6111101, 8196),
+            ("entity_distance", 1, 10, -146110, 787267785, 4359061, 32282),
+            ("entity_distance", 2, 10, -269670, 453163496, 2467445, 191047),
+            ("length", 0, 10, -85604, 434629364, 18197770, 2806),
+            ("length", 1, 10, -1518304, 888519424, 1031458, 431771),
+            ("length", 2, 10, 457668, 419287096, 16691697, 83138),
+        ],
+    ),
+)
+def e8_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 probing-task evaluation end-to-end: id-keyed representation
+    cache (plans/probing.cached_representations) → task labels → exact
+    closed-form ridge probe per (task, seeded direction). The oracle is a
+    fixture-derived literal golden (scale-independent): slope_num/
+    slope_den are EXACT integers, so any drift in the kernel, the
+    projection fold, or the sufficient statistics hash-mismatches; an
+    independent pure-Python replay pins the same values in
+    tests/test_probing.py (regen by rerunning the query only after that
+    replay test passes — same guarded-regen policy as the kg goldens)."""
+    from relex_spark.plans.kg_pipeline import KGPipelineConfig
+    from relex_spark.plans.probing import run_probing_evaluation
+    from relex_spark.scoring.scorer import broadcast_weights
+    from relex_spark.sources.readers import (
+        read_semeval_jsonl,
+        semeval_to_candidates,
+    )
+
+    cands = semeval_to_candidates(
+        read_semeval_jsonl(spark, _fixture_path("semeval_fixture.jsonl")),
+        max_len=100,
+    )
+    wbc = broadcast_weights(spark, KGPipelineConfig().resolved_weights())
+    return run_probing_evaluation(spark, cands, wbc)
 
 
 @register(
@@ -4424,7 +4606,7 @@ DRIVER_TIER = [
     "e3_tacred_micro",
     "e4_semeval_official",
     "e7_trial_summary",
-    "e8_rep_cache_dedupe",
+    "e8_probe_scores",
     # dedup stack (r5 rotation: the production 64-bit SimHash width,
     # SemDeDup, and exact-substring spans take the hard driver signal;
     # the 16-bit demo and the brute-force cosine variant remain
@@ -4541,6 +4723,10 @@ EXTRA_COVERAGE: dict[str, str] = {
     "f_json_extract": "f_scalar_functions",
     "j_semi_anti": "j_set_semi",
     "s_set_ops": "j_set_semi",
+    "e8_rep_cache_dedupe": "e8_probe_scores",
+    "ann_recall_vs_exact": "standalone: engine-checked recall@k contract "
+    "of the bucketed ANN paths vs the exact baseline; the paths "
+    "themselves are driver-checked via ann_scale_paths and ann_cosine_topk",
     # merged carriers (single rewritten query, not _sub composition):
     "x_turn_edit_distance": "x_turn_analysis",
     "x_role_transitions": "x_turn_analysis",
