@@ -1390,19 +1390,19 @@ def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_canonical_u6(out)
 
 
+_SCORED_CANDIDATE_COLS = [
+    ("id", "VARCHAR"),
+    ("subj", "VARCHAR"),
+    ("obj", "VARCHAR"),
+    ("label", "VARCHAR"),
+    ("score_u6", "BIGINT"),
+]
+
+
 def _scored_candidates_golden() -> str:
     from relex_spark.plans.kg_goldens import SCORED_CANDIDATE_ROWS
 
-    return _golden_oracle(
-        [
-            ("id", "VARCHAR"),
-            ("subj", "VARCHAR"),
-            ("obj", "VARCHAR"),
-            ("label", "VARCHAR"),
-            ("score_u6", "BIGINT"),
-        ],
-        SCORED_CANDIDATE_ROWS,
-    )
+    return _golden_oracle(_SCORED_CANDIDATE_COLS, SCORED_CANDIDATE_ROWS)
 
 
 @register("kg_scored_candidates", _scored_candidates_golden())

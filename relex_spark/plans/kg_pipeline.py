@@ -99,6 +99,35 @@ class KGPipelineConfig:
         return self.weights
 
 
+def reference_capacity_weights(
+    gazetteer_rows: list[tuple[str, str, str]] | None = None,
+    max_len: int = 100,
+) -> "ModelWeights":
+    """Seeded synthetic weights at the reference's FLAGSHIP capacity
+    (configs/relation_classification/semeval/baseline_cnn.jsonnet:4-9:
+    GloVe-300d embeddings, 2 x 50-d relative offset tables, 150 filters x
+    ngram sizes [2,3,4,5] = 600-d encoder, 19 SemEval labels).
+
+    Purpose: benchmarking the inference/scan balance at production FLOP
+    density (~10^3-10^4 x the 2-dim toy fixture); labels from synthetic
+    weights carry no golden, so this never enters a correctness query —
+    throughput rows only (BENCH kg_scored_triples_refcap*)."""
+    toks: set[str] = set()
+    for ex in load_semeval_fixture():
+        toks.update(t.lower() for t in ex["tokens"])
+    for surface, _, _ in gazetteer_rows or fixture_gazetteer_rows():
+        toks.update(surface.lower().split(" "))
+    return build_fixture_weights(
+        sorted(toks),
+        d_emb=300,
+        d_off=50,
+        num_filters=150,
+        ngram_sizes=(2, 3, 4, 5),
+        max_len=max_len,
+        offset_type="relative",
+    )
+
+
 def score_key(encoder: str, ns_names: list[str] | None = None):
     """(feature columns, md5 key expression) identifying a scoring input —
     the dedup-before-inference identity. ONE definition, shared by

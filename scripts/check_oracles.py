@@ -85,18 +85,50 @@ def main() -> int:
     # that happens to end in "sf0.01" must not be compared against
     # wrong-scale goldens.
     try:
-        from relex_spark.plans.kg_goldens import GOLDEN_CORPUS
+        from relex_spark.plans import kg_goldens as kgold
+
+        GOLDEN_CORPUS = kgold.GOLDEN_CORPUS
+        EXTRA_GOLDEN_SETS = getattr(kgold, "EXTRA_GOLDEN_SETS", [])
     except ImportError:
-        GOLDEN_CORPUS = None
+        GOLDEN_CORPUS, EXTRA_GOLDEN_SETS = None, []
     if GOLDEN_CORPUS is not None:
         n_docs, docid_sum = con.execute(
             "SELECT CAST(count(*) AS BIGINT),"
             " CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents"
         ).fetchone()
-        at_golden_sf = (
-            n_docs == GOLDEN_CORPUS["documents_rows"]
-            and docid_sum == GOLDEN_CORPUS["doc_id_sum"]
-        )
+        fp = {"documents_rows": n_docs, "doc_id_sum": docid_sum}
+        at_golden_sf = fp == GOLDEN_CORPUS
+        if not at_golden_sf:
+            # a non-primary fingerprinted corpus (e.g. the sf0.1 bench
+            # scale): substitute that set's rows into the golden-query
+            # oracles so this scale ALSO gets the full hash check
+            extra = next(
+                (s for s in EXTRA_GOLDEN_SETS if s["corpus"] == fp), None
+            )
+            if extra is not None:
+                from relex_spark.plans.driver_queries import (
+                    _CANONICAL_TRIPLE_COLS,
+                    _SCORED_CANDIDATE_COLS,
+                    _golden_oracle,
+                )
+
+                canonical = _golden_oracle(
+                    _CANONICAL_TRIPLE_COLS, extra["canonical_triple_rows"]
+                )
+                oracles["kg_canonical_triples"] = canonical
+                oracles["x_streaming_canonical_merge"] = canonical
+                oracles["kg_scored_candidates"] = _golden_oracle(
+                    _SCORED_CANDIDATE_COLS, extra["scored_candidate_rows"]
+                )
+                oracles["kg_tacred_canonical_triples"] = _golden_oracle(
+                    _CANONICAL_TRIPLE_COLS,
+                    extra["tacred_canonical_triple_rows"],
+                )
+                at_golden_sf = True
+                print(
+                    "INFO: corpus matches a non-primary golden fingerprint "
+                    f"({fp}) — golden queries hash-checked against that set"
+                )
     else:
         at_golden_sf = os.path.normpath(sf_dir).endswith("sf0.01")
         print(
@@ -105,7 +137,7 @@ def main() -> int:
         )
     if not at_golden_sf:
         print(
-            "WARN: corpus does not match the golden fingerprint — "
+            "WARN: corpus does not match any golden fingerprint — "
             "golden-pinned queries are downgraded to rows-only checks"
         )
 
