@@ -40,16 +40,28 @@ sys.path.insert(0, REPO)
 
 TOY_CORPUS = "/tmp/relex_scaling_transcripts"      # 480k convs (r4 layout)
 REFCAP_CORPUS = "/tmp/relex_scaling_refcap"        # 15k convs
+REFCAP4X_CORPUS = "/tmp/relex_scaling_refcap4x"    # 60k convs
 TOY_CONVS = 480_000
 REFCAP_CONVS = 15_000
+REFCAP4X_CONVS = 60_000
 OUT = os.path.join(REPO, "BENCH", "scaling_r5.jsonl")
 PLAN = [
     (2, "toy"), (2, "refcap"),
     (8, "toy"), (8, "refcap"),
     (32, "toy"), (32, "refcap"),
+    # refcap at a 4x corpus: two corpus sizes per level solve
+    # t = c + k*n for the per-level fixed job cost c, so the scaling
+    # efficiency can be published fixed-cost-decomposed (r3 methodology)
+    # instead of estimated
+    (2, "refcap4x"), (8, "refcap4x"), (32, "refcap4x"),
 ]
 # per-occurrence runs / dedup runs per (level, variant)
-RUNS = {"toy": (4, 2), "refcap": (3, 2)}
+RUNS = {"toy": (4, 2), "refcap": (3, 2), "refcap4x": (2, 2)}
+CORPUS = {
+    "toy": TOY_CORPUS,
+    "refcap": REFCAP_CORPUS,
+    "refcap4x": REFCAP4X_CORPUS,
+}
 
 
 def ensure_corpus(path: str, n_convs: int) -> None:
@@ -83,7 +95,7 @@ def worker(cpus: int, variant: str) -> None:
     from relex_spark.session import get_spark
     from relex_spark.sources.transcripts import gazetteer_df
 
-    corpus = TOY_CORPUS if variant == "toy" else REFCAP_CORPUS
+    corpus = CORPUS[variant]
     spark = get_spark(
         f"scaling_r5_{cpus}_{variant}",
         master=f"local[{cpus}]",
@@ -96,7 +108,7 @@ def worker(cpus: int, variant: str) -> None:
 
     config = KGPipelineConfig(score_distinct=False)
     config_dedup = KGPipelineConfig(score_distinct=True)
-    if variant == "refcap":
+    if variant.startswith("refcap"):
         w = reference_capacity_weights()
         config.weights = w
         config_dedup.weights = w
@@ -170,6 +182,7 @@ def main() -> int:
 
     ensure_corpus(TOY_CORPUS, TOY_CONVS)
     ensure_corpus(REFCAP_CORPUS, REFCAP_CONVS)
+    ensure_corpus(REFCAP4X_CORPUS, REFCAP4X_CONVS)
 
     done = set()
     if os.path.exists(OUT) and not redo:
@@ -195,10 +208,18 @@ def main() -> int:
             cwd=REPO,
         )
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-        if not line:
-            print(f"worker {cpus} {variant} FAILED:\n{out.stderr[-3000:]}")
+        rec = None
+        if out.returncode == 0 and line:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                rec = None
+        if rec is None:
+            print(
+                f"worker {cpus} {variant} FAILED (exit {out.returncode}, "
+                f"last stdout line: {line[:200]!r}):\n{out.stderr[-3000:]}"
+            )
             return 1
-        rec = json.loads(line)
         rec["host_loadavg_before"] = load_before
         rec["wall_total_sec"] = round(time.time() - t0, 1)
         with open(OUT, "a") as f:
