@@ -213,12 +213,16 @@ def main() -> int:
         n=2,
     )
     # per-occurrence at reference capacity: ~dup_factor x the kernel work
-    # (minutes of pure GEMM) — n=1, informational: it exists to measure
-    # what dedup-before-inference buys at production FLOP density, and the
+    # (minutes of pure GEMM) — warm run discarded like every other row,
+    # then n=1, informational: it exists to measure what
+    # dedup-before-inference buys at production FLOP density, and the
     # quantity of interest (a ratio of minutes to seconds) dwarfs host
     # noise even at one sample
     cfg_ref_po = KGPipelineConfig(score_distinct=False)
     cfg_ref_po.weights = w_ref
+    build_triples(tdf, cfg_ref_po).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
     timings["kg_scored_triples_refcap_per_occurrence"] = best_of(
         "kg_scored_triples_refcap_per_occurrence",
         lambda: run_noop(build_triples(tdf, cfg_ref_po)),

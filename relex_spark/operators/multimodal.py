@@ -314,11 +314,25 @@ def decode_features_real(media: DataFrame) -> DataFrame:
                     xf = x.astype(np.float64) / 32768.0
                     out["d1"].append(float(rate))
                     out["d2"].append(float(len(x)))
-                    out["f1"].append(float(np.sqrt(np.mean(xf * xf))))
-                    out["f2"].append(
-                        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
-                    )
-                    out["f3"].append(float(np.max(np.abs(xf))))
+                    # zero-sample data chunks are valid WAVs: emit 0-valued
+                    # DSP features rather than NaN/ValueError (the same
+                    # contract as decimate_audio); note np.diff of a
+                    # 1-sample signal is also empty
+                    if len(x) == 0:
+                        out["f1"].append(0.0)
+                        out["f2"].append(0.0)
+                        out["f3"].append(0.0)
+                    else:
+                        out["f1"].append(float(np.sqrt(np.mean(xf * xf))))
+                        sign_changes = np.abs(
+                            np.diff(np.signbit(x).astype(np.int8))
+                        )
+                        out["f2"].append(
+                            0.0
+                            if sign_changes.size == 0
+                            else float(np.mean(sign_changes))
+                        )
+                        out["f3"].append(float(np.max(np.abs(xf))))
                 else:
                     px = decode_bmp(b).astype(np.float64)
                     out["d1"].append(float(px.shape[1]))  # width

@@ -87,7 +87,10 @@ def cached_representations(
     if cache is None:
         misses = uniq
     else:
-        cache = cache.select("id", "embedding")
+        # the distributed analogue of dict-key uniqueness: a cache written
+        # twice (append-mode parquet, unioned run outputs) must not yield
+        # duplicate probe-input rows
+        cache = cache.select("id", "embedding").dropDuplicates(["id"])
         misses = uniq.join(cache.select("id"), "id", "left_anti")
     computed = score_candidates(
         misses,
@@ -220,11 +223,15 @@ def run_probing_evaluation(
     n_directions: int = 3,
 ) -> DataFrame:
     """E8 end-to-end: cache-aware representation extraction → task labels →
-    closed-form probe. Returns one row per (task, direction)."""
-    reps = cached_representations(
-        candidates, weights_bc, encoder=encoder, cache=cache
-    )
-    labels = probing_task_labels(candidates)
+    closed-form probe. Returns one row per (task, direction).
+
+    Candidates are deduped by id up front (reference semantics: the probe
+    sees each instance once — probing_task_evaluation.py caches per id);
+    without this, duplicated candidate ids would silently inflate every
+    sufficient statistic while the rep side stayed unique."""
+    uniq = candidates.dropDuplicates(["id"])
+    reps = cached_representations(uniq, weights_bc, encoder=encoder, cache=cache)
+    labels = probing_task_labels(uniq)
     # the classifier input dim IS the representation dim (M19 taps the
     # encoder output that feeds ff_w)
     dim = int(weights_bc.value.ff_w.shape[0])

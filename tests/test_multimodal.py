@@ -190,3 +190,37 @@ def test_decimate_audio_numpy_replay(spark):
             np.floor(np.sqrt(np.mean(d * d)) * 1_000_000 + 0.5)
         )
         assert row["peak"] == int(np.max(np.abs(x[::4])))
+
+
+def test_zero_sample_and_full_scale_wavs_are_handled(spark):
+    """Edge WAVs the public API must survive (review findings, r5): a
+    zero-length data chunk yields 0-valued features instead of
+    NaN/ValueError, and a full-scale -32768 sample yields a positive peak
+    (int64 widening before abs)."""
+    import struct
+
+    from relex_spark.operators.multimodal import (
+        decimate_audio,
+        decode_features,
+    )
+
+    def wav(data: bytes) -> bytes:
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+    empty = wav(b"")
+    fullscale = wav(struct.pack("<4h", -32768, 32767, -32768, 5))
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(empty)), (1, "audio", bytearray(fullscale))],
+        "media_id bigint, kind string, payload binary",
+    )
+
+    feats = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert feats[0]["features"][1] == 0.0            # n_samples
+    assert feats[0]["features"][2:] == [0.0, 0.0, 0.0]  # rms/zcr/peak, no NaN
+    assert feats[1]["features"][4] == 1.0            # |-32768|/32768, positive
+
+    dec = {r["media_id"]: r for r in decimate_audio(media, factor=2).collect()}
+    assert dec[0]["n_out"] == 0 and dec[0]["rms_u6"] == 0 and dec[0]["peak"] == 0
+    assert dec[1]["peak"] == 32768                   # widened, not -32768

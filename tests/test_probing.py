@@ -173,3 +173,22 @@ def test_probe_scores_constant_label_is_safe(spark):
         r = rows[("argument_order", d)]
         assert r["slope_num"] == 0 and r["r2_u6"] == 0
         assert r["intercept_u6"] == 1_000_000  # a = mean(y) = 1 exactly
+
+
+def test_probe_is_invariant_to_duplicated_candidate_ids(spark):
+    """Reference semantics: the probe sees each instance once (the cache is
+    keyed by id) — duplicating candidate rows must not change any
+    sufficient statistic (review finding, r5)."""
+    cands = _fixture_candidates(spark)
+    wbc = _weights_bc(spark)
+    base = {
+        (r["task"], r["direction"]): tuple(r)
+        for r in run_probing_evaluation(spark, cands, wbc).collect()
+    }
+    doubled = {
+        (r["task"], r["direction"]): tuple(r)
+        for r in run_probing_evaluation(
+            spark, cands.unionByName(cands), wbc
+        ).collect()
+    }
+    assert doubled == base
