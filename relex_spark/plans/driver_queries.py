@@ -2058,6 +2058,76 @@ def e8_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e8_probe_scores_tacred",
+    _golden_oracle(
+        _PROBE_COLS,
+        [
+            ("arg_type_head", 0, 3, 0, 63954, 1000000, 0),
+            ("arg_type_head", 1, 3, 0, 197738, 1000000, 0),
+            ("arg_type_head", 2, 3, 0, 78426, 1000000, 0),
+            ("arg_type_tail", 0, 3, -632, 272696, 524922, 740418),
+            ("arg_type_tail", 1, 3, -451, 338738, 1066054, 302893),
+            ("arg_type_tail", 2, 3, -200, 127544, -325786, 160497),
+            ("argument_head_grammatical_role", 0, 3, 150, 461424, 548012, 24540),
+            ("argument_head_grammatical_role", 1, 3, 543, 238998, 877961, 624587),
+            ("argument_head_grammatical_role", 2, 3, 1118, 634898, 110805, 989001),
+            ("argument_order", 0, 3, -711, 308214, 423300, 828063),
+            ("argument_order", 1, 3, 656, 251024, 632991, 867405),
+            ("argument_order", 2, 3, 591, 180954, -2103120, 981110),
+            ("argument_tail_grammatical_role", 0, 3, -698, 1002752, 257924, 243660),
+            ("argument_tail_grammatical_role", 1, 3, 141, 12954, 4850471, 945083),
+            ("argument_tail_grammatical_role", 2, 3, -1237, 769526, -400751, 998104),
+            ("entity_distance", 0, 3, 6063, 391802, 27756668, 750327),
+            ("entity_distance", 1, 3, 780, 15242, 28203254, 379147),
+            ("entity_distance", 2, 3, -5010, 216032, -23836311, 934924),
+            ("entity_exists_between_head_tail", 0, 3, -414, 545754, 864657, 157890),
+            ("entity_exists_between_head_tail", 1, 3, -860, 441494, -450797, 843302),
+            ("entity_exists_between_head_tail", 2, 3, 315, 268074, 498635, 187141),
+            ("length", 0, 3, 3828, 597168, 29089744, 237132),
+            ("length", 1, 3, -9912, 1036638, 20527027, 913939),
+            ("length", 2, 3, -4610, 330950, 29676930, 623053),
+            ("pos_tag_head_left", 0, 3, 274, 273392, 473906, 138811),
+            ("pos_tag_head_left", 1, 3, 315, 193986, 337029, 259708),
+            ("pos_tag_head_left", 2, 3, 370, 311450, -173639, 221895),
+            ("pos_tag_head_right", 0, 3, 150, 20016, -1892386, 646291),
+            ("pos_tag_head_right", 1, 3, 61, 30602, 2544605, 66757),
+            ("pos_tag_head_right", 2, 3, -132, 226038, 1022421, 39054),
+            ("pos_tag_tail_left", 0, 3, -102, 88938, 818458, 60463),
+            ("pos_tag_tail_left", 1, 3, -299, 461138, 766894, 97566),
+            ("pos_tag_tail_left", 2, 3, -196, 29558, -5486501, 715797),
+            ("pos_tag_tail_right", 0, 3, 1019, 875018, 417957, 595371),
+            ("pos_tag_tail_right", 1, 3, -397, 219518, 265213, 363895),
+            ("pos_tag_tail_right", 2, 3, 680, 371006, 2073934, 628210),
+            ("sdp_tree_depth", 0, 3, -336, 236952, 1713765, 241242),
+            ("sdp_tree_depth", 1, 3, -400, 229016, 4658958, 353897),
+            ("sdp_tree_depth", 2, 3, -80, 104504, 2500804, 31500),
+            ("tree_depth", 0, 3, 286, 149126, 2756394, 69942),
+            ("tree_depth", 1, 3, -1134, 181566, 1635901, 899951),
+            ("tree_depth", 2, 3, -504, 35238, 6048470, 977786),
+        ],
+    ),
+)
+def e8_probe_scores_tacred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 with the reference's FULL 14-task TACRED probing list
+    (probing_task_evaluation.py:20-35): raw TACRED scan → reader semantics
+    → G1–G4 adjacency → GCN reps (M19 tap, id-keyed cache) → all 14 task
+    labels (tree/SDP depth + grammatical roles via one Arrow-batched
+    graph-walk, the rest pure JVM SQL; categorical tasks as binary
+    class-membership probes, plans/probing.TACRED_PROBE_CLASSES) → exact
+    closed-form ridge. Fixture golden; labels hand-derivation-pinned and
+    statistics replay-pinned in tests/test_probing.py (guarded-regen
+    policy as e8_probe_scores)."""
+    from relex_spark.plans.kg_pipeline import tacred_pipeline_weights
+    from relex_spark.plans.probing import run_tacred_probing_evaluation
+    from relex_spark.scoring.scorer import broadcast_weights
+    from relex_spark.sources.readers import read_tacred_json
+
+    raw = read_tacred_json(spark, _fixture_path("tacred_fixture.json"))
+    wbc = broadcast_weights(spark, tacred_pipeline_weights("NER"))
+    return run_tacred_probing_evaluation(spark, raw, wbc)
+
+
+@register(
     "m10_attention_scored",
     _golden_oracle(
         _SCORED_COLS,
@@ -4724,6 +4794,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "j_semi_anti": "j_set_semi",
     "s_set_ops": "j_set_semi",
     "e8_rep_cache_dedupe": "e8_probe_scores",
+    "e8_probe_scores_tacred": "standalone: the reference's full 14-task "
+    "TACRED probing list over GCN representations; the probe mechanism "
+    "itself is driver-checked via e8_probe_scores",
     "ann_recall_vs_exact": "standalone: engine-checked recall@k contract "
     "of the bucketed ANN paths vs the exact baseline; the paths "
     "themselves are driver-checked via ann_scale_paths and ann_cosine_topk",

@@ -192,3 +192,214 @@ def test_probe_is_invariant_to_duplicated_candidate_ids(spark):
         ).collect()
     }
     assert doubled == base
+
+
+def _tacred_raw(spark):
+    from relex_spark.sources.readers import read_tacred_json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "relex_spark", "data",
+        "tacred_fixture.json",
+    )
+    return read_tacred_json(spark, path)
+
+
+def _tacred_wbc(spark):
+    from relex_spark.plans.kg_pipeline import tacred_pipeline_weights
+    from relex_spark.scoring.scorer import broadcast_weights
+
+    return broadcast_weights(spark, tacred_pipeline_weights("NER"))
+
+
+def _expected_tacred_labels():
+    """Independent pure-Python derivation of all 14 task labels straight
+    from the fixture JSON (no engine code beyond the JSON load)."""
+    import json
+
+    from relex_spark.plans.probing import TACRED_PROBE_CLASSES
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "relex_spark", "data",
+        "tacred_fixture.json",
+    )
+    out = {}
+    for ex in json.load(open(path)):
+        n = len(ex["token"])
+        h, pos, dep, ner = (
+            ex["stanford_head"], ex["stanford_pos"],
+            ex["stanford_deprel"], ex["stanford_ner"],
+        )
+        ss, se = ex["subj_start"], ex["subj_end"]
+        os_, oe = ex["obj_start"], ex["obj_end"]
+
+        def depth_of(i):
+            d, cur, seen = 0, i, set()
+            while h[cur] > 0 and cur not in seen:
+                seen.add(cur)
+                cur = h[cur] - 1
+                d += 1
+            return d
+
+        def chain(i):
+            c, cur, seen = [i], i, {i}
+            while h[cur] > 0 and (h[cur] - 1) not in seen:
+                cur = h[cur] - 1
+                c.append(cur)
+                seen.add(cur)
+            return c
+
+        # SDP kept set + LCA, re-derived per the documented G2 spec
+        s_chains = [chain(i) for i in range(ss, se + 1)]
+        o_chains = [chain(i) for i in range(os_, oe + 1)]
+        s_anc = set().union(*s_chains)
+        o_anc = set().union(*o_chains)
+        common = set(s_chains[0])
+        for c in s_chains[1:] + o_chains:
+            common &= set(c)
+        if not common:
+            lca, path_nodes = s_chains[0][-1], s_anc | o_anc
+        else:
+            lca = next(n_ for n_ in s_chains[0] if n_ in common)
+            path_nodes = (s_anc | o_anc) - common
+        kept = set(path_nodes) | {lca}
+        for node in list(path_nodes):  # prune=1 neighbourhood
+            for j in range(n):
+                if h[j] - 1 == node or (h[node] - 1 == j and h[node] > 0):
+                    kept.add(j)
+        sdp_depth = 0
+        for node in kept:
+            d, cur, seen = 0, node, set()
+            while cur != lca and cur not in seen:
+                seen.add(cur)
+                p = h[cur] - 1
+                if p < 0 or (p not in kept and p != lca):
+                    break
+                cur, d = p, d + 1
+            sdp_depth = max(sdp_depth, d)
+
+        def role(lo, hi):
+            for i in range(lo, hi + 1):
+                p = h[i] - 1
+                if p < lo or p > hi:
+                    return dep[i]
+            return dep[lo]
+
+        between = ner[min(se, oe) + 1 : max(ss, os_)]
+        cls = TACRED_PROBE_CLASSES
+        out[ex["id"]] = {
+            "arg_type_head": int(ex["subj_type"] == cls["arg_type_head"]),
+            "arg_type_tail": int(ex["obj_type"] == cls["arg_type_tail"]),
+            "length": n,
+            "entity_distance": max(max(ss, os_) - min(se, oe) - 1, 0),
+            "argument_order": int(ss <= os_),
+            "entity_exists_between_head_tail": int(
+                any(t != "O" for t in between)
+            ),
+            "pos_tag_head_left": int(
+                ss > 0 and pos[ss - 1] == cls["pos_tag_head_left"]
+            ),
+            "pos_tag_head_right": int(
+                se + 1 < n and pos[se + 1] == cls["pos_tag_head_right"]
+            ),
+            "pos_tag_tail_left": int(
+                os_ > 0 and pos[os_ - 1] == cls["pos_tag_tail_left"]
+            ),
+            "pos_tag_tail_right": int(
+                oe + 1 < n and pos[oe + 1] == cls["pos_tag_tail_right"]
+            ),
+            "tree_depth": max(depth_of(i) for i in range(n)),
+            "sdp_tree_depth": sdp_depth,
+            "argument_head_grammatical_role": int(
+                role(ss, se) == cls["argument_head_grammatical_role"]
+            ),
+            "argument_tail_grammatical_role": int(
+                role(os_, oe) == cls["argument_tail_grammatical_role"]
+            ),
+        }
+    return out
+
+
+def test_tacred_probe_labels_match_hand_derivation(spark):
+    """All 14 task labels (SQL indicators + the graph-walk kernel) vs an
+    independent pure-Python derivation from the raw fixture JSON."""
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.plans.probing import (
+        TACRED_PROBE_TASKS,
+        tacred_probe_labels,
+    )
+    from relex_spark.sources.readers import tacred_to_candidates
+
+    raw = _tacred_raw(spark)
+    cands = with_adjacency(
+        tacred_to_candidates(raw, max_len=100, masking_mode="NER"),
+        prune=1, max_len=100,
+    )
+    types = raw.select("id", "subj_type", "obj_type")
+    got = {
+        r["id"]: {t: r[t] for t in TACRED_PROBE_TASKS}
+        for r in tacred_probe_labels(cands, types).collect()
+    }
+    want = _expected_tacred_labels()
+    assert got == want
+    # the fixture genuinely exercises the tasks: most must be non-constant
+    varying = sum(
+        1 for t in TACRED_PROBE_TASKS
+        if len({v[t] for v in want.values()}) > 1
+    )
+    assert varying >= 10
+
+
+def test_tacred_probe_scores_replay(spark):
+    """The TACRED probe statistics (14 tasks x 3 directions) replayed in
+    exact Python from the collected GCN representations + the
+    independently-derived labels."""
+    from relex_spark.graph.adjacency import with_adjacency
+    from relex_spark.plans.probing import (
+        RIDGE_LAMBDA,
+        TACRED_PROBE_TASKS,
+        cached_representations,
+        probe_direction,
+        run_tacred_probing_evaluation,
+    )
+    from relex_spark.sources.readers import tacred_to_candidates
+
+    raw = _tacred_raw(spark)
+    wbc = _tacred_wbc(spark)
+    out = {
+        (r["task"], r["direction"]): r
+        for r in run_tacred_probing_evaluation(spark, raw, wbc).collect()
+    }
+    assert len(out) == 14 * 3
+
+    cands = with_adjacency(
+        tacred_to_candidates(raw, max_len=100, masking_mode="NER"),
+        prune=1, max_len=100,
+    )
+    reps = {
+        r["id"]: [float(v) for v in r["embedding"]]
+        for r in cached_representations(cands, wbc, encoder="gcn").collect()
+    }
+    want = _expected_tacred_labels()
+    ids = sorted(reps)
+    dim = len(reps[ids[0]])
+
+    for task in TACRED_PROBE_TASKS:
+        for d in range(3):
+            vec = probe_direction(task, d, dim)
+            xs = [
+                int(math.floor(
+                    sum(a * b for a, b in zip(reps[i], vec)) * 1000.0 + 0.5
+                ))
+                for i in ids
+            ]
+            ys = [want[i][task] for i in ids]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx + n * RIDGE_LAMBDA
+            got = out[(task, d)]
+            assert got["n"] == n
+            assert got["slope_num"] == num, (task, d)
+            assert got["slope_den"] == den, (task, d)
