@@ -93,6 +93,105 @@ def benchmark_overlap(
     )
 
 
+def _bloom_positions(h, i: int, m_bits: int):
+    """Bit position i of the double-hashing Bloom family over a portable
+    60-bit nonnegative hash ``h``: ``(h % m + i * (1 + (h >> 30) % (m-1)))
+    % m``. Pure int64 arithmetic, identical in Spark and DuckDB (both `%`
+    and `>>` agree on nonnegative operands; max intermediate < (k+1)*m,
+    no overflow). The step ``h2`` is forced into [1, m-1] so the k probes
+    never collapse onto one bit."""
+    h1 = h % F.lit(m_bits)
+    h2 = F.shiftright(h, 30) % F.lit(m_bits - 1) + F.lit(1)
+    return (h1 + F.lit(i) * h2) % F.lit(m_bits)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Decontamination at broadcast-bitset scale: same signal as
+    ``benchmark_overlap`` (per-doc fraction of word n-gram shingles seen in
+    the benchmark), but the benchmark side collapses to an m-bit Bloom
+    filter (k double-hashed probes per shingle) instead of a distinct-hash
+    join side. A shingle "hits" iff all k bits are set — one-sided error:
+    every true overlap is counted (no false negatives by construction);
+    false positives occur at the standard (1 - e^(-kn/m))^k rate and are
+    PART of the operator's defined semantics (the DuckDB oracle builds the
+    identical bit set, so results match bit-for-bit).
+
+    Scale shape: this is the 100-TB variant of decontamination. The exact
+    join ships every document shingle hash through a shuffle; here the
+    eval-set bits (m/8 bytes — 32 KiB at the default 2^18, independent of
+    corpus size) constant-fold into the plan as ONE array<bigint> literal,
+    and the probe is a map-only codegen pass over the corpus: zero
+    shuffle, zero join. The only driver-side step is collecting the
+    benchmark's distinct bit positions (bounded by m — a tiny-aggregate
+    finalize, same class as the vocab broadcast).
+
+    Output column names are distinct from ``benchmark_overlap``'s
+    (``n_bloom_hits``/``bloom_frac_u6``/``flagged``) so the two signals can
+    be joined side-by-side when measuring the false-positive rate.
+    """
+    if m_bits < 2 or m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64 >= 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bench_sh = shingled_docs(benchmark, text_col, shingle_n, out_col="sh", hashed=True)
+    bench_h = bench_sh.select(F.explode("sh").alias("h"))
+    pos_rows = (
+        bench_h.select(
+            F.explode(
+                F.array(*[_bloom_positions(F.col("h"), i, m_bits) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in pos_rows:
+        p = row["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # int64 literals are signed; re-interpret the top bit
+    words_lit = F.array(
+        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w) for w in words]
+    )
+
+    def shingle_hit(h):
+        hit = F.lit(True)
+        for i in range(k):
+            p = _bloom_positions(h, i, m_bits)
+            word = F.element_at(words_lit, F.shiftright(p, 6).cast("int") + F.lit(1))
+            hit = hit & (F.getbit(word, p % F.lit(64)) == F.lit(1))
+        return hit
+
+    d = shingled_docs(docs, text_col, shingle_n, out_col="sh", hashed=True)
+    n_shingles = F.size("sh").cast("bigint")
+    n_hits = F.size(F.filter(F.col("sh"), shingle_hit)).cast("bigint")
+    frac = F.col("n_bloom_hits").cast("double") / F.nullif(
+        F.col("n_shingles"), F.lit(0)
+    ).cast("double")
+    return (
+        d.select(
+            F.col(id_col),
+            n_shingles.alias("n_shingles"),
+            n_hits.alias("n_bloom_hits"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_bloom_hits",
+            micro_units(frac).alias("bloom_frac_u6"),
+            F.coalesce(frac >= F.lit(threshold), F.lit(False)).alias("flagged"),
+        )
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2673,6 +2673,67 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(docs, benchmark, shingle_n=3, threshold=0.5)
 
 
+# Bloom geometry shared by the Spark query and the oracle SQL below.
+_BLOOM_M = 1 << 18
+_BLOOM_K = 3
+# position i of the double-hashed probe family, as SQL over hash column {h}
+_BLOOM_POS = (
+    f"(({{h}} % {_BLOOM_M}) + i * (1 + (({{h}} >> 30) % {_BLOOM_M - 1}))) % {_BLOOM_M}"
+)
+
+
+@register(
+    "x_decontaminate_bloom",
+    _HSHINGLES_CTE
+    + f"""
+    , ii AS (SELECT unnest({list(range(_BLOOM_K))}) AS i),
+    bh AS (SELECT DISTINCT unnest(hs) AS h FROM hsh WHERE doc_id % 31 = 0),
+    bpos AS (
+        SELECT DISTINCT {_BLOOM_POS.format(h="h")} AS p FROM bh CROSS JOIN ii
+    ),
+    dd AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+        FROM hsh
+    ),
+    probe AS (
+        SELECT doc_id, n_shingles, h, {_BLOOM_POS.format(h="h")} AS p
+        FROM dd CROSS JOIN ii
+    ),
+    sh_hits AS (
+        SELECT pr.doc_id, pr.n_shingles, pr.h,
+               CASE WHEN COUNT(bp.p) = {_BLOOM_K} THEN 1 ELSE 0 END AS hit
+        FROM probe pr LEFT JOIN bpos bp ON pr.p = bp.p
+        GROUP BY pr.doc_id, pr.n_shingles, pr.h
+    ),
+    agg AS (
+        SELECT doc_id, n_shingles, CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+        FROM sh_hits GROUP BY ALL
+    )
+    SELECT doc_id, n_shingles, n_bloom_hits,
+           CAST(floor(CAST(n_bloom_hits AS DOUBLE) / n_shingles * 1000000 + 0.5) AS BIGINT) AS bloom_frac_u6,
+           CAST(n_bloom_hits AS DOUBLE) / n_shingles >= 0.5 AS flagged
+    FROM agg
+    """,
+)
+def x_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, broadcast-bitset formulation: the benchmark slice
+    collapses to a 2^18-bit Bloom filter (32 KiB, independent of corpus
+    size) that constant-folds into the plan as one array<bigint> literal;
+    the probe over `documents` is a map-only codegen pass — ZERO shuffle,
+    zero join, vs the exact path's hashed-shingle equi-join
+    (x_decontaminate). False positives at the standard Bloom rate are part
+    of the defined semantics; the oracle builds the identical bit set, so
+    the comparison is exact. This is the 100-TB shape: eval-set bits ride
+    the closure, corpus never shuffles."""
+    from relex_spark.operators.curation import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 31 == 0)
+    return bloom_decontaminate(
+        docs, benchmark, shingle_n=3, m_bits=_BLOOM_M, k=_BLOOM_K, threshold=0.5
+    )
+
+
 @register(
     "x_lm_score",
     rf"""
@@ -4842,6 +4903,10 @@ EXTRA_COVERAGE: dict[str, str] = {
     "twin of driver-tier kg_canonical_triples (GCN scoring + "
     "canonicalization), golden-pinned at sf0.01 via "
     "scripts/regen_kg_goldens.py",
+    "x_decontaminate_bloom": "standalone: broadcast-bitset (Bloom) scale "
+    "path of decontamination — zero-shuffle map-only probe; the exact "
+    "equi-join formulation of the same signal is driver-checked via "
+    "x_decontaminate",
     "x_epoch_order": "standalone: deterministic per-epoch training "
     "shuffle; the same portable-hash order machinery is driver-checked "
     "via x_stratified_sample and the pack/mix queries",

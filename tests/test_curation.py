@@ -142,3 +142,110 @@ def test_curation_pipeline_each_stage_eliminates(spark):
         fills.setdefault((r["shard"], r["pack_id"]), []).append(r["tok_count"])
     for toks in fills.values():
         assert len(toks) == 1 or sum(toks) <= 64
+
+
+def _h64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[int]:
+    toks = text.split()
+    if len(toks) >= n:
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        grams = {" ".join(toks)}
+    return sorted(_h64(g) for g in grams)
+
+
+def _py_positions(h: int, k: int, m: int) -> list[int]:
+    h1, h2 = h % m, 1 + (h >> 30) % (m - 1)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def test_bloom_decontaminate_matches_python_replay(spark):
+    """Pin the bit packing (incl. the int64 sign bit: m_bits=64 puts every
+    position in word 0, so bit 63 is exercised with near-certainty) against
+    an independent pure-Python replay of the same hash/position math."""
+    from relex_spark.operators.curation import bloom_decontaminate
+
+    texts = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10)) + " common tail words")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    benchmark = docs.where(F.col("doc_id") % 5 == 0)
+    m, k = 64, 3
+
+    bench_bits = set()
+    for i, t in texts:
+        if i % 5 == 0:
+            for h in _py_shingles(t):
+                bench_bits.update(_py_positions(h, k, m))
+    assert any(p == 63 for p in bench_bits), "sign bit not exercised; densify"
+
+    expected = {}
+    for i, t in texts:
+        hs = _py_shingles(t)
+        hits = sum(
+            1 for h in hs if all(p in bench_bits for p in _py_positions(h, k, m))
+        )
+        frac = hits / len(hs)
+        expected[i] = (
+            len(hs),
+            hits,
+            math.floor(frac * 1_000_000 + 0.5),
+            frac >= 0.5,
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_bloom_hits"],
+            r["bloom_frac_u6"],
+            r["flagged"],
+        )
+        for r in bloom_decontaminate(docs, benchmark, m_bits=m, k=k).collect()
+    }
+    assert got == expected
+    # benchmark members self-hit completely at any width
+    assert all(got[i][1] == got[i][0] for i in range(0, 30, 5))
+
+
+def test_bloom_no_false_negatives_vs_exact(spark):
+    """One-sided error contract: at any width every exact hit is a bloom
+    hit; at a generous width (2^20 bits for ~60 shingles) the two signals
+    coincide exactly on this corpus (deterministic, so pinned forever)."""
+    from relex_spark.operators.curation import (
+        benchmark_overlap,
+        bloom_decontaminate,
+    )
+
+    texts = [(i, " ".join(f"t{(i * 7 + j) % 40}" for j in range(12))) for i in range(25)]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    benchmark = docs.where(F.col("doc_id") % 4 == 0)
+
+    exact = {
+        r["doc_id"]: r["n_hits"] for r in benchmark_overlap(docs, benchmark).collect()
+    }
+    for m in (64, 1 << 20):
+        bloom = {
+            r["doc_id"]: r["n_bloom_hits"]
+            for r in bloom_decontaminate(docs, benchmark, m_bits=m).collect()
+        }
+        assert set(bloom) == set(exact)
+        assert all(bloom[i] >= exact[i] for i in exact), f"false negative at m={m}"
+    assert bloom == exact  # m=2^20: no collisions on this corpus
+
+
+def test_bloom_decontaminate_guards(spark):
+    import pytest
+
+    from relex_spark.operators.curation import bloom_decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, k=0)

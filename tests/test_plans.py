@@ -190,3 +190,38 @@ def test_dup_spans_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_driver_tier_sweep_no_scale_killers(spark):
+    """Every driver-tier query's physical plan, audited in one sweep: no
+    CartesianProduct anywhere, and no row-at-a-time Python UDF
+    (BatchEvalPython) — the two plan nodes that silently kill a 100x
+    scale-up. Arrow-batched nodes (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) stay allowed: they are the sanctioned Python
+    boundary. Building a plan is cheap; queries that execute tiny
+    finalizes (vocab broadcast, centroids, bloom bitset) or a bounded
+    stream do so at sf0.001."""
+    from relex_spark.plans import driver_queries as dq
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(dq.QUERIES.items()):
+        plan = plan_of(fn(spark, sf_dir))
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"scale-killer plan nodes: {offenders}"
+
+
+def test_q1_pushes_filter_and_prunes_scan(spark):
+    """TPC-H Q1 shape: the shipdate predicate must reach the parquet scan
+    (PushedFilters) and the scan must not read columns the query never
+    touches (ReadSchema pruned to the 6 used columns)."""
+    from relex_spark.plans import driver_queries as dq
+
+    plan = plan_of(dq.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = scan[scan.index("PushedFilters") : scan.index("ReadSchema")]
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+    read = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in read and "l_orderkey" not in read
