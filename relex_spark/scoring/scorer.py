@@ -14,9 +14,11 @@ with the driver-side batch loop replaced by partitioned Arrow batches.
 Scale notes:
 * Weights travel once per executor via ``sc.broadcast`` (S5 analogue).
 * Arrow batch size (session.ARROW_BATCH_ROWS) bounds padded-tensor memory.
-* Optionally ``sortWithinPartitions(size(tokens))`` upstream reduces padding
-  waste (B1 bucket-iterator analogue) without changing results — per-row
-  outputs are batch-independent by kernel construction.
+* ``sortWithinPartitions(size(tokens), xxhash64(features))`` upstream
+  reduces padding waste (B1 bucket-iterator analogue) AND totally orders
+  each partition, making forward-chunk composition — and with it the
+  float accumulation order — deterministic across runs (see the inline
+  comment at the sort site).
 """
 
 from __future__ import annotations
@@ -109,8 +111,27 @@ def score_candidates(
     # results (kernel outputs are batch-independent). Sorting isn't allowed
     # on streaming DataFrames — skipped there (only padding efficiency is
     # lost; semantics identical).
+    #
+    # The hash tiebreaker makes the within-partition order TOTAL: a
+    # length-only sort leaves ties in shuffle-fetch order, which varies
+    # run-to-run, so forward-chunk composition (and with it the last-ulp
+    # float accumulation order inside the GEMMs) was nondeterministic —
+    # enough to flip a micro-unit-quantized score sitting on a rounding
+    # boundary between two runs of the same query (observed: golden-pinned
+    # flagship values flapping ±1 u6 across sessions). Feature columns
+    # identify the computation, so hashing them orders ties determin-
+    # istically; a 64-bit collision merely leaves one tie unordered.
     if bucket_by_length and not candidates.isStreaming:
-        in_df = in_df.sortWithinPartitions(F.size(ids_col))
+        in_df = in_df.sortWithinPartitions(
+            F.size(ids_col),
+            F.xxhash64(
+                F.col(ids_col),
+                F.col("head_start"),
+                F.col("head_end"),
+                F.col("tail_start"),
+                F.col("tail_end"),
+            ),
+        )
 
     out_fields = [in_df.schema[c] for c in keep_columns]
     out_fields += [

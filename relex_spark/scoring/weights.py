@@ -55,6 +55,21 @@ def sine_offset_table(n_rows: int, embedding_dim: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
+def _cast_floats(obj, dtype):
+    """Recursively cast float ndarrays inside dict/list/tuple containers to
+    ``dtype``; everything else (int arrays, vocab dicts, scalars) passes
+    through untouched."""
+    if isinstance(obj, np.ndarray):
+        return obj.astype(dtype) if np.issubdtype(obj.dtype, np.floating) else obj
+    if isinstance(obj, dict):
+        return {k: _cast_floats(v, dtype) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_cast_floats(v, dtype) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_cast_floats(v, dtype) for v in obj)
+    return obj
+
+
 @dataclass
 class ModelWeights:
     """All state needed by the scoring kernel; numpy-only, picklable for
@@ -116,6 +131,30 @@ class ModelWeights:
         vocab = self.extra["ns_vocab"][namespace]
         return [vocab.get(t, OOV_ID) for t in tags]
 
+    def astype(self, dtype) -> "ModelWeights":
+        """Copy with every float array (incl. nested ``extra`` params) cast
+        to ``dtype``. float32 → float64 is value-exact, so the float64 copy
+        computes the same function with ~1e-16 relative accumulation drift
+        instead of float32's ~1e-7 — the determinism headroom the
+        micro-unit-quantized golden oracles rely on (a 1e-7 drift lands a
+        quantized score on a floor(x*1e6+0.5) boundary often enough to flap
+        golden hashes between runs; 1e-16 never does)."""
+        return ModelWeights(
+            token_to_id=self.token_to_id,
+            labels=self.labels,
+            emb=_cast_floats(self.emb, dtype),
+            head_offset_emb=_cast_floats(self.head_offset_emb, dtype),
+            tail_offset_emb=_cast_floats(self.tail_offset_emb, dtype),
+            cnn_filters=_cast_floats(self.cnn_filters, dtype),
+            ff_w=_cast_floats(self.ff_w, dtype),
+            ff_b=_cast_floats(self.ff_b, dtype),
+            n_position=self.n_position,
+            max_len=self.max_len,
+            lowercase=self.lowercase,
+            offset_type=self.offset_type,
+            extra=_cast_floats(self.extra, dtype),
+        )
+
     def token_ids(self, tokens: list[str]) -> list[int]:
         """V3: token→id with OOV fallback; single_id lowercase_tokens
         semantics (tests/fixtures/basic_relation_classifier.jsonnet:5-8).
@@ -147,11 +186,24 @@ def build_fixture_weights(
     labels: list[str] | None = None,
     offset_type: str = "relative",
     namespaces: dict[str, tuple[list[str], int]] | None = None,
+    compute_dtype: str = "float64",
 ) -> ModelWeights:
     """Seeded-deterministic weights over a supplied (already-ordered) vocab.
 
     ``vocab_tokens`` must be deterministic — use operators.vocab.build_vocab
     output (count desc, token asc) or a sorted token list.
+
+    ``compute_dtype``: the dtype the kernels will compute in (they follow
+    the weight arrays' dtype). Every parameter is DRAWN as seeded float32 —
+    bit-identical draws regardless of this argument — then upcast exactly,
+    so "float64" (the default) changes accumulation precision only, never
+    the weight values. Fixture weights default to float64 because their
+    outputs are pinned by micro-unit-quantized golden oracles: float32
+    GEMM accumulation drifts ~1e-7 with chunk shape / BLAS threading,
+    which flaps values sitting on a quantization boundary; float64 drift
+    (~1e-16) cannot move a micro-unit. Pass "float32" for throughput
+    benchmarking at production capacity (the reference-capacity bench
+    path does), where no golden pins the outputs.
 
     ``namespaces``: M1 multi-namespace token embeddings — e.g.
     ``{"ner": (tags, 8), "pos": (tags, 8)}`` builds a (pad=0, oov=1)-seeded
@@ -316,7 +368,7 @@ def build_fixture_weights(
         extra["ns_vocab"] = ns_vocab
         extra["ns_emb"] = ns_emb
 
-    return ModelWeights(
+    w = ModelWeights(
         offset_type=offset_type,
         extra=extra,
         token_to_id=token_to_id,
@@ -330,3 +382,6 @@ def build_fixture_weights(
         n_position=n_position,
         max_len=max_len,
     )
+    if np.dtype(compute_dtype) != np.float32:
+        w = w.astype(np.dtype(compute_dtype))
+    return w

@@ -310,3 +310,61 @@ def test_jvm_token_ids_multi_namespace(spark):
     a = {r["id"]: (r["label"], list(r["probs"])) for r in base}
     b = {r["id"]: (r["label"], list(r["probs"])) for r in enc}
     assert a == b and len(a) == 3
+
+
+def test_micro_unit_scores_invariant_to_chunking_and_order(weights, monkeypatch):
+    """The golden-oracle determinism contract: with float64 fixture weights,
+    micro-unit-quantized scores must be IDENTICAL regardless of forward-
+    chunk composition or row order — the failure mode this pins was real
+    (float32 GEMM accumulation drifted ~1e-7 with chunk shape, flipping a
+    golden-pinned score sitting on a floor(x*1e6+0.5) boundary between
+    runs). float64 leaves ~1e-16 drift: no micro-unit can move."""
+    import relex_spark.scoring.kernels as K
+
+    assert weights.emb.dtype == np.float64  # the contract's precondition
+    fixture = load_semeval_fixture()
+    ids_list, heads, tails = [], [], []
+    for ex in fixture:
+        ids_list.append(weights.token_ids(ex["tokens"]))
+        (h0, h1), (t0, t1) = ex["entities"]
+        heads.append((h0, h1 - 1))
+        tails.append((t0, t1 - 1))
+    heads, tails = np.array(heads), np.array(tails)
+
+    def u6(probs):
+        return np.floor(probs.max(axis=-1).astype(np.float64) * 1e6 + 0.5)
+
+    base, _ = forward_batch(weights, ids_list, heads, tails)
+    # different chunk sizes -> different padded GEMM shapes
+    for chunk in (1, 3, 7):
+        monkeypatch.setattr(K, "FORWARD_CHUNK_ROWS", chunk)
+        probs, _ = forward_batch(weights, ids_list, heads, tails)
+        assert (u6(probs) == u6(base)).all(), f"chunk={chunk}"
+    monkeypatch.undo()
+    # permuted row order -> different chunk membership entirely
+    perm = [3, 9, 0, 7, 5, 1, 8, 2, 6, 4]
+    probs_p, _ = forward_batch(
+        weights, [ids_list[i] for i in perm], heads[perm], tails[perm]
+    )
+    assert (u6(probs_p) == u6(base)[perm]).all()
+
+
+def test_fixture_weights_float64_values_exact_vs_float32_draws():
+    """compute_dtype changes precision only: every float64 fixture weight
+    is EXACTLY its seeded float32 draw (upcast is value-exact), so the
+    model function is unchanged -- only accumulation error shrinks."""
+    toks = ["alpha", "beta", "gamma"]
+    w64 = build_fixture_weights(toks)  # default float64
+    w32 = build_fixture_weights(toks, compute_dtype="float32")
+    assert w64.emb.dtype == np.float64 and w32.emb.dtype == np.float32
+    assert (w64.emb == w32.emb.astype(np.float64)).all()
+    assert (w64.ff_w == w32.ff_w.astype(np.float64)).all()
+    for k in w32.cnn_filters:
+        assert (
+            w64.cnn_filters[k][0] == w32.cnn_filters[k][0].astype(np.float64)
+        ).all()
+    # nested extra params are cast too (spot-check one per family)
+    assert w64.extra["gcn_weights"][0].dtype == np.float64
+    assert w64.extra["lstm_params"]["w_ih_0"].dtype == np.float64
+    assert w64.extra["attn_layers"][0]["wq"].dtype == np.float64
+    assert w64.extra["gat_layers"][0]["w"].dtype == np.float64
