@@ -2734,6 +2734,126 @@ def x_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR geometry shared by the Spark queries and the oracles below.
+_DSIR_M = 4096
+_DSIR_TAU = 4
+_DSIR_K = 40
+# target slice of the corpus the importance model fits toward
+_DSIR_TARGET = "source = 'src0'"
+# bigram extraction + bucket hashing + per-bucket counts, shared CTE prefix
+_DSIR_CTE = rf"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(0, len(toks) - 1),
+                                     i -> toks[i+1] || ' ' || toks[i+2])
+                 ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, source, {_H64.format(x="gram")} % {_DSIR_M} AS bucket
+        FROM (SELECT doc_id, source, unnest(grams) AS gram FROM g)
+    ),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM e WHERE {_DSIR_TARGET}) AS t_total,
+               (SELECT COUNT(*) FROM e) AS s_total
+    ),
+    tab AS (
+        SELECT ab.bucket,
+               CAST(COALESCE(tc.t_cnt, 0) AS BIGINT) AS t_cnt,
+               CAST(COALESCE(sc.s_cnt, 0) AS BIGINT) AS s_cnt,
+               CAST(floor(ln(
+                   (CAST(COALESCE(tc.t_cnt, 0) + 1 AS DOUBLE)
+                        * CAST(tot.s_total + {_DSIR_M} AS DOUBLE))
+                   / (CAST(COALESCE(sc.s_cnt, 0) + 1 AS DOUBLE)
+                        * CAST(tot.t_total + {_DSIR_M} AS DOUBLE))
+               ) * 1000000 + 0.5) AS BIGINT) AS llr_u6
+        FROM (SELECT range AS bucket FROM range(0, {_DSIR_M})) ab
+        LEFT JOIN (SELECT bucket, COUNT(*) AS t_cnt FROM e
+                   WHERE {_DSIR_TARGET} GROUP BY bucket) tc ON ab.bucket = tc.bucket
+        LEFT JOIN (SELECT bucket, COUNT(*) AS s_cnt FROM e
+                   GROUP BY bucket) sc ON ab.bucket = sc.bucket
+        CROSS JOIN tot
+    )
+"""
+
+
+@register(
+    "x_dsir_llr_table",
+    _DSIR_CTE + "SELECT bucket, t_cnt, s_cnt, llr_u6 FROM tab",
+)
+def x_dsir_llr_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR fit (Xie et al. 2023): hashed-bigram bucket counts over the
+    target slice vs the raw corpus → add-one-smoothed log-likelihood ratio
+    per bucket, micro-unit quantized. Every ratio input is an exact
+    integer, so both engines hand the SAME rational to ln() — the only
+    float op — and quantize immediately. Shuffle cardinality is capped at
+    m=4096 buckets with full map-side combine, corpus-size independent."""
+    from relex_spark.operators.dsir import dsir_llr_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_llr_table(docs, docs.where(_DSIR_TARGET), m_buckets=_DSIR_M)
+
+
+@register(
+    "x_dsir_scores",
+    _DSIR_CTE
+    + """
+    , eb AS (SELECT e.doc_id, tab.llr_u6 FROM e JOIN tab ON e.bucket = tab.bucket)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(llr_u6) AS BIGINT) AS score_u6
+    FROM eb GROUP BY doc_id
+    """,
+)
+def x_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: per-document INTEGER sum of its grams'
+    bucket llr_u6 — order-independent, engine-portable. The fitted m-row
+    table is collected (tiny finalize, vocab-broadcast class) and
+    constant-folds into the plan as ONE array<bigint> literal, so corpus
+    scoring is a MAP-ONLY codegen pass: zero joins, zero shuffle — the
+    100-TB shape (same device as the bloom decontamination bitset)."""
+    from relex_spark.operators.dsir import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(docs, docs.where(_DSIR_TARGET), m_buckets=_DSIR_M)
+
+
+@register(
+    "x_dsir_resample",
+    _DSIR_CTE
+    + f"""
+    , eb AS (SELECT e.doc_id, tab.llr_u6 FROM e JOIN tab ON e.bucket = tab.bucket),
+    sc2 AS (
+        SELECT doc_id, CAST(SUM(llr_u6) AS BIGINT) AS score_u6
+        FROM eb GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, score_u6,
+               CAST(floor(CAST(score_u6 AS DOUBLE) / {_DSIR_TAU}.0) AS BIGINT)
+               + CAST(floor(-ln(-ln(
+                     (CAST({_H64.format(x="'dsir:' || CAST(doc_id AS VARCHAR)")}
+                           AS DOUBLE) + 0.5) / 1152921504606846976.0
+                 )) * 1000000 + 0.5) AS BIGINT) AS key_u6
+        FROM sc2
+    )
+    SELECT doc_id, score_u6, key_u6 FROM keyed
+    ORDER BY key_u6 DESC, doc_id ASC LIMIT {_DSIR_K}
+    """,
+)
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-k WITHOUT replacement ∝ exp(score/τ),
+    noise derived from the portable 60-bit hash of the doc id — fully
+    deterministic, seedless, reproducible in SQL. Compiles to
+    TakeOrderedAndProject (per-partition k-heaps, driver merges
+    k·partitions rows) — never a global sort."""
+    from relex_spark.operators.dsir import dsir_resample, dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, docs.where(_DSIR_TARGET), m_buckets=_DSIR_M)
+    return dsir_resample(scored, k=_DSIR_K, temperature=_DSIR_TAU)
+
+
 @register(
     "x_lm_score",
     rf"""
@@ -4907,6 +5027,13 @@ EXTRA_COVERAGE: dict[str, str] = {
     "path of decontamination — zero-shuffle map-only probe; the exact "
     "equi-join formulation of the same signal is driver-checked via "
     "x_decontaminate",
+    "x_dsir_llr_table": "standalone: DSIR importance-model fit (hashed-"
+    "bigram bucket LLRs); the curation-tier selection machinery it feeds "
+    "is driver-checked via x_stratified_sample and x_curation_pipeline",
+    "x_dsir_scores": "standalone: DSIR per-document importance scores "
+    "(map-only constant-folded table lookup, integer sums)",
+    "x_dsir_resample": "standalone: DSIR Gumbel-top-k selection without "
+    "replacement over the scored corpus",
     "x_epoch_order": "standalone: deterministic per-epoch training "
     "shuffle; the same portable-hash order machinery is driver-checked "
     "via x_stratified_sample and the pack/mix queries",
