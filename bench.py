@@ -123,7 +123,12 @@ def main() -> int:
     tdf = spark.read.parquet("/tmp/relex_bench_transcripts")
     n_turns = tdf.count()
 
-    config = KGPipelineConfig()
+    # Throughput rows measure the PRODUCTION kernel dtype (float32).
+    # float64 is the correctness dtype for the golden oracles only
+    # (KGPipelineConfig.compute_dtype docstring; BENCH/BASELINE.md r5):
+    # at 32 parallel workers it doubles kernel bytes on one memory bus
+    # and degrades tail latency ~2x on this host.
+    config = KGPipelineConfig(compute_dtype="float32")
     build_triples(tdf, config).write.format("noop").mode("overwrite").save()  # warm
     # n=4: this is the headline metric and the host shows multi-tenant load
     # spikes (load-avg >12 observed with no benchmark running); isolated
@@ -138,7 +143,7 @@ def main() -> int:
     # reference's own per-instance semantics; also the streaming path) —
     # the gap between this and kg_scored_triples is what
     # dedup-before-inference buys on this corpus's duplication factor
-    config_nodedup = KGPipelineConfig(score_distinct=False)
+    config_nodedup = KGPipelineConfig(score_distinct=False, compute_dtype="float32")
     config_nodedup.weights = config.resolved_weights()
     build_triples(tdf, config_nodedup).write.format("noop").mode(
         "overwrite"
@@ -160,9 +165,9 @@ def main() -> int:
         "/tmp/relex_bench_transcripts_hd"
     )
     tdf_hd = spark.read.parquet("/tmp/relex_bench_transcripts_hd")
-    cfg_hd = KGPipelineConfig()
+    cfg_hd = KGPipelineConfig(compute_dtype="float32")
     cfg_hd.weights = config.resolved_weights()
-    cfg_hd_nodedup = KGPipelineConfig(score_distinct=False)
+    cfg_hd_nodedup = KGPipelineConfig(score_distinct=False, compute_dtype="float32")
     cfg_hd_nodedup.weights = config.resolved_weights()
     build_triples(tdf_hd, cfg_hd).write.format("noop").mode("overwrite").save()
     timings["kg_scored_triples_highdup"] = best_of(

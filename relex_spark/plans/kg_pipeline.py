@@ -82,6 +82,14 @@ class KGPipelineConfig:
         default_factory=fixture_gazetteer_rows
     )
     weights: ModelWeights | None = None
+    # Kernel compute dtype for the default fixture weights (see
+    # scoring/weights.build_fixture_weights): "float64" (default) is the
+    # CORRECTNESS dtype — micro-unit-quantized golden oracles cannot flap
+    # with chunk shape or BLAS threading. Throughput benchmarks pin
+    # "float32" (what a production deployment ships): at 32 parallel
+    # workers on one memory bus, float64 doubles kernel bytes/FLOPs and
+    # measurably degrades tail latency (BENCH/BASELINE.md, round 5).
+    compute_dtype: str = "float64"
 
     def resolved_weights(self) -> ModelWeights:
         if self.weights is not None:
@@ -95,7 +103,9 @@ class KGPipelineConfig:
         # Memoized: the synthetic build RNGs ~50 MB of matrices driver-side —
         # a pure-serial cost that must not recur per job (it measurably
         # capped scaling efficiency: every build_triples call paid it).
-        self.weights = build_fixture_weights(sorted(toks), max_len=self.max_len)
+        self.weights = build_fixture_weights(
+            sorted(toks), max_len=self.max_len, compute_dtype=self.compute_dtype
+        )
         return self.weights
 
 

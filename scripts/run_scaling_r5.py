@@ -106,8 +106,8 @@ def worker(cpus: int, variant: str) -> None:
     tdf = spark.read.parquet(corpus)
     n_turns = tdf.count()
 
-    config = KGPipelineConfig(score_distinct=False)
-    config_dedup = KGPipelineConfig(score_distinct=True)
+    config = KGPipelineConfig(score_distinct=False, compute_dtype="float32")
+    config_dedup = KGPipelineConfig(score_distinct=True, compute_dtype="float32")
     if variant.startswith("refcap"):
         w = reference_capacity_weights()
         config.weights = w

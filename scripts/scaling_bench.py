@@ -78,8 +78,8 @@ def worker(cpus: int) -> None:
     # pins bit-equality). The A/B lever for the 8→32 transport-vs-bandwidth
     # decomposition in BENCH/BASELINE.md.
     jvm_ids = os.environ.get("RELEX_SCALING_JVM_IDS", "") == "1"
-    config = KGPipelineConfig(score_distinct=False, jvm_token_ids=jvm_ids)
-    config_dedup = KGPipelineConfig(score_distinct=True, jvm_token_ids=jvm_ids)
+    config = KGPipelineConfig(score_distinct=False, jvm_token_ids=jvm_ids, compute_dtype="float32")
+    config_dedup = KGPipelineConfig(score_distinct=True, jvm_token_ids=jvm_ids, compute_dtype="float32")
     config_dedup.weights = config.resolved_weights()  # share the memoized build
 
     # untimed prep: constant-size entity dimension (see module docstring)
