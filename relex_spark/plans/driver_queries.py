@@ -2734,6 +2734,80 @@ def x_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval constants shared by the Spark queries and the oracles.
+# Float literals are embedded via repr() of the SAME Python expressions the
+# operator evaluates, so both engines parse identical doubles.
+_BM25_QUERY = "join shuffle spill"
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_K = 25
+_BM25_CTE = rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(len(toks)) AS DOUBLE) AS sumdl FROM t),
+    q AS (SELECT unnest({sorted(set(_BM25_QUERY.split()))!r}) AS term),
+    idf AS (
+        SELECT q.term,
+               ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+        FROM q
+        JOIN (SELECT q2.term,
+                     (SELECT COUNT(*) FROM t WHERE list_contains(t.toks, q2.term)) AS df
+              FROM q q2) df ON q.term = df.term
+        CROSS JOIN st
+    ),
+    contrib AS (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS dl,
+               CASE WHEN tf > 0 THEN CAST(floor(
+                   idf.idf * (tf * {_BM25_K1 + 1.0!r})
+                   / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                        * ((CAST(len(t.toks) AS DOUBLE) * st.n) / st.sumdl)))
+                   * 1000000 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS c_u6
+        FROM t CROSS JOIN idf CROSS JOIN st,
+             LATERAL (SELECT CAST(len(list_filter(t.toks, x -> x = idf.term)) AS DOUBLE) AS tf) l
+    ),
+    bm AS (
+        SELECT doc_id, dl, CAST(SUM(c_u6) AS BIGINT) AS score_u6
+        FROM contrib GROUP BY doc_id, dl
+        HAVING SUM(c_u6) > 0
+    )
+"""
+
+
+@register(
+    "x_bm25_scores",
+    _BM25_CTE + "SELECT doc_id, dl, score_u6 FROM bm",
+)
+def x_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Lucene formulation) over the corpus for a fixed query — the
+    sparse-lexical complement to the dense ANN paths. One bounded stats
+    pass (N, Σdl, per-term df); per-term idf then rides the plan as a
+    literal inside one codegen expression over each document's own tokens:
+    scoring is MAP-ONLY, zero joins/shuffles over the corpus. Per-(term,
+    doc) contributions quantize to micro-units BEFORE the per-doc sum, so
+    the cross-engine hash compares exact integers."""
+    from relex_spark.operators.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "x_bm25_topk",
+    _BM25_CTE
+    + f"""
+    SELECT doc_id, dl, score_u6 FROM bm
+    ORDER BY score_u6 DESC, doc_id ASC LIMIT {_BM25_K}
+    """,
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval — TakeOrderedAndProject (per-partition
+    k-heaps), ties broken by ascending doc id for determinism."""
+    from relex_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 # DSIR geometry shared by the Spark queries and the oracles below.
 _DSIR_M = 4096
 _DSIR_TAU = 4
@@ -5027,6 +5101,11 @@ EXTRA_COVERAGE: dict[str, str] = {
     "path of decontamination — zero-shuffle map-only probe; the exact "
     "equi-join formulation of the same signal is driver-checked via "
     "x_decontaminate",
+    "x_bm25_scores": "standalone: BM25 lexical scoring (zero-shuffle "
+    "map-only corpus pass; the dense similarity complement is driver-"
+    "checked via ann_cosine_topk / ann_scale_paths)",
+    "x_bm25_topk": "standalone: BM25 top-k retrieval "
+    "(TakeOrderedAndProject)",
     "x_dsir_llr_table": "standalone: DSIR importance-model fit (hashed-"
     "bigram bucket LLRs); the curation-tier selection machinery it feeds "
     "is driver-checked via x_stratified_sample and x_curation_pipeline",
