@@ -4965,7 +4965,13 @@ DRIVER_TIER = [
     "x_turn_analysis",
     "x_pagerank",
     "x_incremental_merge",
-    "events_tumbling_window",
+    # round-5 marquee LLM-pipeline ops take the hard driver signal:
+    # DSIR data selection and BM25 retrieval (events_tumbling_window and
+    # q_cube_events rotated to EXTRA — the windowed-agg shape stays
+    # driver-certified via x_incremental_merge, and both remain
+    # judge-swept every round)
+    "x_dsir_scores",
+    "x_bm25_topk",
     # multimodal (mm_sample_frames rotated to EXTRA in r5 — pure-SQL
     # slicing; the decode path keeps its driver slot via mm_real_decode)
     "mm_real_decode",
@@ -4973,7 +4979,6 @@ DRIVER_TIER = [
     # q_percentiles_corr rotated to EXTRA in r5 to make room for the
     # marquee LLM-pipeline operators; still judge-swept every round)
     "w_window_functions",
-    "q_cube_events",
     "j_set_semi",
     "f_scalar_functions",
 ]
@@ -5104,13 +5109,13 @@ EXTRA_COVERAGE: dict[str, str] = {
     "x_bm25_scores": "standalone: BM25 lexical scoring (zero-shuffle "
     "map-only corpus pass; the dense similarity complement is driver-"
     "checked via ann_cosine_topk / ann_scale_paths)",
-    "x_bm25_topk": "standalone: BM25 top-k retrieval "
-    "(TakeOrderedAndProject)",
+    "events_tumbling_window": "x_incremental_merge",
+    "q_cube_events": "standalone: CUBE/rollup grouping-set breadth "
+    "(pure relational SQL, judge-swept; rotated out of the driver "
+    "window in r5 for the marquee LLM-pipeline ops)",
     "x_dsir_llr_table": "standalone: DSIR importance-model fit (hashed-"
     "bigram bucket LLRs); the curation-tier selection machinery it feeds "
     "is driver-checked via x_stratified_sample and x_curation_pipeline",
-    "x_dsir_scores": "standalone: DSIR per-document importance scores "
-    "(map-only constant-folded table lookup, integer sums)",
     "x_dsir_resample": "standalone: DSIR Gumbel-top-k selection without "
     "replacement over the scored corpus",
     "x_epoch_order": "standalone: deterministic per-epoch training "
