@@ -4318,6 +4318,151 @@ def x_turn_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The corpus vocabulary is closed lowercase tech words (TESTDATA.md), so the
+# anaphora TRIGGER set for the engine-checked query is the determiners that
+# actually occur ('the', 'a') and the entity set is four corpus nouns — the
+# production English pronoun set is the operator default
+# (operators/coref.py DEFAULT_TRIGGERS) and is pinned by the pytest fixture
+# conversation instead; the PLAN under test is identical either way.
+_COREF_ENTS = ("customer", "spark", "stream", "vector")
+_COREF_TRIGS = ("a", "the")
+
+
+@register(
+    "x_coref_resolve",
+    f"""
+    WITH tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx, text
+        FROM documents
+    ),
+    feat AS (
+        SELECT conv_id, turn_idx,
+               (list_filter(string_split(text, ' '),
+                  t -> list_contains({list(_COREF_ENTS)}, t)))[-1]
+                 AS turn_entity,
+               (list_filter(string_split(text, ' '),
+                  t -> list_contains({list(_COREF_TRIGS)}, t)))[1]
+                 AS trigger
+        FROM tr
+    ),
+    res AS (
+        SELECT conv_id, turn_idx, trigger,
+               last_value(turn_entity IGNORE NULLS) OVER win AS antecedent,
+               last_value(CASE WHEN turn_entity IS NOT NULL THEN turn_idx END
+                          IGNORE NULLS) OVER win AS antecedent_turn_idx
+        FROM feat
+        WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT conv_id, turn_idx, trigger, antecedent,
+           CAST(antecedent_turn_idx AS INT) AS antecedent_turn_idx,
+           CAST(turn_idx - antecedent_turn_idx AS INT) AS gap
+    FROM res WHERE trigger IS NOT NULL AND antecedent IS NOT NULL
+    """,
+)
+def x_coref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anaphora resolution over the transcript corpus: each triggered turn
+    links to the most recent prior entity mention within 6 turns of its
+    conversation (operators/coref.py — recency heuristic, strictly-prior
+    window). One shuffle (the shared per-conversation window partitioning);
+    token scans are literal-array codegen, no Python, no join. The oracle
+    replays the documented semantics through DuckDB's IGNORE NULLS frame."""
+    from relex_spark.operators.coref import resolve_anaphora
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 40).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 40.0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return resolve_anaphora(
+        tr, entities=_COREF_ENTS, triggers=_COREF_TRIGS, lookback=6
+    )
+
+
+def _negatives_oracle() -> str:
+    """x_negative_samples oracle: EXTENDS the kg_candidate_pairs CTE chain
+    (positives = the engine-checked mention-pair output) with the hash
+    corruption rule — same 60-bit md5 pick, same filtered-setting NOT
+    EXISTS — so the negative sampler is certified against the very pairs
+    the KG pipeline emits, not a toy fixture."""
+    from relex_spark.sources.transcripts import fixture_gazetteer_rows
+
+    ents = sorted({eid for _, eid, _ in fixture_gazetteer_rows()})
+    values = ", ".join(f"('{e}')" for e in ents)
+    return (
+        _kg_pairs_cte()
+        + f""",
+    pos AS (
+        SELECT DISTINCT subj, 'related_to' AS pred, obj
+        FROM p WHERE pair_no <= 10 AND subj <> obj
+    ),
+    ents AS (
+        SELECT e.entity,
+               row_number() OVER (ORDER BY e.entity) - 1 AS eid
+        FROM (VALUES {values}) e(entity)
+    ),
+    n AS (SELECT COUNT(*) AS n_ents FROM ents),
+    cand AS (
+        SELECT pos.subj, pos.pred, pos.obj, CAST(r.i AS INT) AS neg_idx,
+               CAST(('0x' || substr(md5(pos.subj || ':' || pos.pred || ':'
+                         || pos.obj || ':' || CAST(r.i AS STRING)), 1, 15))
+                    AS BIGINT) % (SELECT n_ents FROM n) AS pick
+        FROM pos, range(4) r(i)
+    ),
+    neg AS (
+        SELECT c.subj, c.pred, e.entity AS obj_neg, c.neg_idx
+        FROM cand c JOIN ents e ON e.eid = c.pick
+        WHERE e.entity <> c.obj
+    )
+    SELECT n2.subj, n2.pred, n2.obj_neg, n2.neg_idx
+    FROM neg n2
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p2
+        WHERE p2.subj = n2.subj AND p2.pred = n2.pred
+          AND p2.obj = n2.obj_neg)
+    """
+    )
+
+
+@register("x_negative_samples", _negatives_oracle())
+def x_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling (operators/negatives.py) over the REAL
+    positives the KG pipeline emits at corpus scale: distinct mention
+    pairs from kg_candidate_pairs become (subj, related_to, obj) training
+    positives, the fixture entity vocabulary is the replacement pool, and
+    each positive is hash-corrupted into up to 4 negatives with true
+    triples anti-joined away. Deterministic under any partitioning (the
+    pick is a pure row hash), so the DuckDB oracle replays it exactly."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.operators.negatives import negative_sample_triples
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    pos = (
+        generate_candidate_pairs(m, 10)
+        .where(F.col("subj") != F.col("obj"))
+        .select("subj", F.lit("related_to").alias("pred"), "obj")
+        .distinct()
+    )
+    ents = spark.createDataFrame(
+        [(e,) for e in sorted({eid for _, eid, _ in fixture_gazetteer_rows()})],
+        "entity string",
+    )
+    return negative_sample_triples(pos, ents, k=4)
+
+
 @register("x_streaming_canonical_merge", _canonical_triples_golden())
 def x_streaming_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming merge-equivalence, driver-checked: the SAME transcript
@@ -5131,6 +5276,12 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
+    "x_coref_resolve": "standalone: anaphora resolution feeding the "
+    "candidate-pair stage; the per-conversation window machinery it shares "
+    "is driver-checked via x_turn_analysis and x_sessionize",
+    "x_negative_samples": "standalone: KG-embedding training-prep negative "
+    "sampler; its positives ARE the driver-checked kg_candidate_pairs "
+    "output (the oracle extends that query's own CTE chain)",
     "q2_min_cost_supplier": "standalone: classical-operator breadth beyond "
     "the 50-query driver window (correlated subquery)",
     "q5_local_supplier_volume": "standalone: classical-operator breadth "
