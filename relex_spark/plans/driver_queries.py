@@ -4383,6 +4383,44 @@ def x_coref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunk_windows",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 16 THEN 1
+                    ELSE CAST((len(toks) - 16 + 11) // 12 AS INT) + 1
+               END AS n_chunks
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, toks,
+               CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx
+        FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(doc_id AS STRING) || ':' || CAST(chunk_idx AS STRING)
+             AS chunk_id,
+           CAST(len(toks[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx * 12 + 1 : chunk_idx * 12 + 16],
+                           ' ') AS chunk_text
+    FROM e
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py) over the documents
+    table — retrieval/RAG prep: 16-token windows with 4-token overlap,
+    every token covered, exact-integer window rule replayed by the oracle.
+    Narrow plan: split/sequence/explode/slice codegen on the scan
+    partitioning, NO shuffle, no Python."""
+    from relex_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
 def _negatives_oracle() -> str:
     """x_negative_samples oracle: EXTENDS the kg_candidate_pairs CTE chain
     (positives = the engine-checked mention-pair output) with the hash
@@ -5276,6 +5314,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
+    "text_chunk_windows": "standalone: retrieval-prep chunking (narrow "
+    "token-window fan-out); the token machinery it shares is "
+    "driver-checked via text_stats (token counts) and x_pack_sequences",
     "x_coref_resolve": "standalone: anaphora resolution feeding the "
     "candidate-pair stage; the per-conversation window machinery it shares "
     "is driver-checked via x_turn_analysis and x_sessionize",
