@@ -86,3 +86,66 @@ def pagerank_u6(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Oracle-facing projection: ranks in engine-portable micro-units."""
     r = pagerank(edges, iterations=iterations)
     return r.select("node", micro_units(F.col("rank")).alias("rank_u6"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED edge table (src, dst)
+    — the local-clustering signal for the canonical entity graph (hub
+    entities with low triangle density are canonicalization suspects:
+    they connect communities that never co-occur).
+
+    Scale shape — the standard degree-orientation trick (node-iterator++):
+    every edge is oriented from the (degree, node)-lexicographically
+    smaller endpoint to the larger, so each triangle is enumerated exactly
+    once and the wedge self-join fans out quadratically in the ORIENTED
+    out-degree, which is O(sqrt(|E|)) even for hub vertices — a Zipf-hub
+    entity with 10^6 neighbours produces ~|E| wedges, not 10^12. Three
+    shuffles total (degree agg, wedge self-join, closing-edge equi-join);
+    per-vertex rollup rides the closing join's output.
+
+    Input may contain duplicates, self-loops, and both directions of the
+    same edge; all are normalized away first. Output: (node, triangles
+    BIGINT) for every node of the deduped graph (zero-triangle nodes
+    included). Triangle counts are orientation-invariant, so a DuckDB
+    oracle can verify with the naive a<b<c three-way join.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    # orient by (deg, node): lower endpoint -> higher endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    # wedges (u -> v, u -> w) with a canonical v < w; triangle closes when
+    # the oriented graph also holds v->w or w->v — exactly one of the two
+    # exists if the undirected edge does, so probe the UNDIRECTED set
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    per_vertex = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return deg.select("node").join(per_vertex, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
+    )

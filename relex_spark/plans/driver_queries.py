@@ -4466,6 +4466,74 @@ def _negatives_oracle() -> str:
     )
 
 
+@register(
+    "x_triangle_counts",
+    _kg_pairs_cte()
+    + """,
+    ce AS (
+        SELECT DISTINCT conv_id, turn_idx // 3 AS blk, entity_id FROM m1
+    ),
+    ed AS (
+        SELECT DISTINCT l.entity_id AS a, r.entity_id AS b
+        FROM ce l JOIN ce r
+          ON l.conv_id = r.conv_id AND l.blk = r.blk
+         AND l.entity_id < r.entity_id
+    ),
+    nodes AS (SELECT a AS node FROM ed UNION SELECT b FROM ed),
+    tri AS (
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+        SELECT node, COUNT(*) AS c
+        FROM (SELECT unnest([v1, v2, v3]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT n.node, CAST(COALESCE(pv.c, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN pv ON pv.node = n.node
+    """,
+)
+def x_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the co-mention graph (two entities
+    are linked when some 3-turn block of a conversation mentions both —
+    block-scoped so the corpus graph is NOT the complete K20 that
+    whole-conversation scoping degenerates to) — the local-clustering
+    signal for canonicalization QA. The ENGINE uses
+    the degree-orientation algorithm (operators/graph_metrics.py
+    `triangle_counts` — wedge fan-out bounded by oriented out-degree, the
+    shape that survives Zipf hubs at 10^12 turns); the ORACLE counts the
+    same orientation-invariant quantity with the naive a<b<c three-way
+    join, so the clever plan is certified against the obvious one."""
+    from relex_spark.operators.candidates import detect_mentions
+    from relex_spark.operators.graph_metrics import triangle_counts
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    ce = (
+        m.select(
+            "conv_id",
+            (F.col("turn_idx") / 3).cast("int").alias("blk"),
+            F.explode("mentions").alias("mn"),
+        )
+        .select("conv_id", "blk", F.col("mn.entity_id").alias("ent"))
+        .distinct()
+    )
+    edges = (
+        ce.alias("l")
+        .join(ce.alias("r"), ["conv_id", "blk"])
+        .where(F.col("l.ent") < F.col("r.ent"))
+        .select(F.col("l.ent").alias("src"), F.col("r.ent").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
 @register("x_negative_samples", _negatives_oracle())
 def x_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered negative sampling (operators/negatives.py) over the REAL
@@ -5314,6 +5382,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
+    "x_triangle_counts": "standalone: degree-oriented triangle counting "
+    "over the co-mention graph, certified against the naive three-way "
+    "join; the graph-analytics family is driver-checked via x_pagerank",
     "text_chunk_windows": "standalone: retrieval-prep chunking (narrow "
     "token-window fan-out); the token machinery it shares is "
     "driver-checked via text_stats (token counts) and x_pack_sequences",

@@ -78,3 +78,43 @@ def test_pagerank_matches_numpy_reference_on_random_graph(spark):
     assert set(got) == {str(v) for v in nodes}
     for v in nodes:
         assert abs(got[str(v)] - rank[idx[v]]) < 1e-9, v
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from relex_spark.operators.graph_metrics import triangle_counts
+
+    # K4 on a,b,c,d (4 triangles, each vertex in 3) + pendant edge d-e
+    # (e has none); input deliberately messy: duplicates, self-loop,
+    # reversed direction
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(
+        k4 + [("b", "a"), ("c", "c"), ("d", "e"), ("a", "b")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_match_bruteforce_on_hashed_graph(spark):
+    import hashlib
+    from itertools import combinations
+
+    from relex_spark.operators.graph_metrics import triangle_counts
+
+    # deterministic pseudo-random graph on 12 nodes (~40% density)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    und = set()
+    for x, y in combinations(nodes, 2):
+        h = int(hashlib.md5(f"{x}|{y}".encode()).hexdigest()[:4], 16)
+        if h % 5 < 2:
+            und.add((x, y))
+    expect = {n: 0 for n in nodes}
+    for t in combinations(nodes, 3):
+        if all(tuple(sorted(p)) in und for p in combinations(t, 2)):
+            for n in t:
+                expect[n] += 1
+    df = spark.createDataFrame(sorted(und), "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    # operator reports nodes of the deduped graph; isolated nodes absent
+    in_graph = {n for e in und for n in e}
+    assert got == {n: c for n, c in expect.items() if n in in_graph}
