@@ -306,17 +306,35 @@ def main() -> int:
     distinct_scored_hd = pairs_hd.select(_key.alias("k")).distinct().count()
     n_candidates_hd = pairs_hd.count()
 
+    # --- r5 extension operators (excluded from the frozen headline) -------
+    for name in (
+        "text_chunk_windows",
+        "x_coref_resolve",
+        "x_negative_samples",
+        "x_triangle_counts",
+    ):
+        run_noop(QUERIES[name](spark, sf_dir))  # discarded warm run
+        timings[name] = best_of(
+            name, lambda: run_noop(QUERIES[name](spark, sf_dir)), n=2
+        )
+        log(f"{name}: {timings[name]}s {raw_runs[name]}")
+
     loadavg["end"] = list(os.getloadavg())
     # Headline composition is FROZEN at the round-3 suite: rows added in
-    # later rounds (the r4 highdup pair, the r5 reference-capacity rows)
-    # are published as individual timings but excluded from the summed
-    # headline, so headline_suite_sec stays apples-to-apples across rounds.
+    # later rounds (the r4 highdup pair, the r5 reference-capacity rows
+    # and extension-operator rows) are published as individual timings but
+    # excluded from the summed headline, so headline_suite_sec stays
+    # apples-to-apples across rounds.
     headline_exclude = {
         "kg_scored_triples_highdup",
         "kg_scored_triples_highdup_per_occurrence",
         "kg_scored_triples_refcap",
         "kg_scored_triples_refcap_highdup",
         "kg_scored_triples_refcap_per_occurrence",
+        "text_chunk_windows",
+        "x_coref_resolve",
+        "x_negative_samples",
+        "x_triangle_counts",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in headline_exclude), 3

@@ -115,6 +115,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # lineage truncation (same discipline as the pagerank/CC loops):
+        # e is referenced by FIVE downstream nodes (degree agg, two degree
+        # joins, closing-edge probe, node zero-fill) — without this the
+        # upstream edge derivation (e.g. full mention detection) re-executes
+        # once per reference
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))

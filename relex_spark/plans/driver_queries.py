@@ -4516,14 +4516,24 @@ def x_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = transcripts_from_documents(docs)
     m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    # Double-reference guard (same idiom as generate_candidate_pairs):
+    # explode(single-ref expensive column) lets CollapseProject inline the
+    # whole mention pipeline into Generate, re-evaluating it per ELEMENT
+    # (measured 6x the stage cost at sf0.1); size()+col() keeps the column
+    # materialized in its own Project. Semantics unchanged: empty arrays
+    # explode to nothing either way.
+    ms = F.col("mentions")
     ce = (
         m.select(
             "conv_id",
             (F.col("turn_idx") / 3).cast("int").alias("blk"),
-            F.explode("mentions").alias("mn"),
+            F.explode(F.when(F.size(ms) >= 1, ms)).alias("mn"),
         )
         .select("conv_id", "blk", F.col("mn.entity_id").alias("ent"))
         .distinct()
+        # the self-join below references ce twice; truncate so mention
+        # detection runs once, not twice
+        .localCheckpoint(eager=False)
     )
     edges = (
         ce.alias("l")
