@@ -3249,12 +3249,11 @@ def _kg_pairs_oracle() -> str:
     """
 
 
-def _kg_canonical_oracle() -> str:
-    """kg_canonical_pairs oracle: the shared pre-scoring CTE chain plus an
-    INDEPENDENT canonical-component map — a plain-Python union-find over
-    the same alias edges (entity_id — ent:lower(surface)) inlined as
-    VALUES — cross-checking the engine's alternating large-star/small-star
-    connected components through the driver."""
+def _canonical_cmap_values() -> str:
+    """INDEPENDENT canonical-component map as a SQL VALUES list — a
+    plain-Python union-find over the same alias edges (entity_id —
+    ent:lower(surface)) the engine's connected components consume; shared
+    by the kg_canonical_pairs and kg_pair_timeline oracles."""
     from relex_spark.sources.transcripts import fixture_gazetteer_rows
 
     parent: dict[str, str] = {}
@@ -3285,11 +3284,18 @@ def _kg_canonical_oracle() -> str:
     def q(x: str) -> str:
         return "'" + x.replace("'", "''") + "'"
 
-    cmap_vals = ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(comp.items()))
+    return ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(comp.items()))
+
+
+def _kg_canonical_oracle() -> str:
+    """kg_canonical_pairs oracle: the shared pre-scoring CTE chain plus the
+    independent union-find component map — cross-checking the engine's
+    alternating large-star/small-star connected components through the
+    driver."""
     return (
         _kg_pairs_cte()
         + f""",
-    cmap(node, component) AS (VALUES {cmap_vals}),
+    cmap(node, component) AS (VALUES {_canonical_cmap_values()}),
     sel AS (
         SELECT conv_id || ':' || CAST(turn_idx AS STRING) || ':'
                        || CAST(pair_no AS STRING) AS id,
@@ -3391,6 +3397,93 @@ def kg_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("subj", "obj").agg(
         F.count(F.lit(1)).cast("bigint").alias("support"),
         F.min("id").alias("first_id"),
+    )
+
+
+def _kg_timeline_oracle() -> str:
+    """kg_pair_timeline oracle: the canonical-pairs chain extended with
+    the temporal rollup — per canonical pair, the first/last observing
+    turn and the distinct-conversation coverage."""
+    return (
+        _kg_pairs_cte()
+        + f""",
+    cmap(node, component) AS (VALUES {_canonical_cmap_values()}),
+    sel AS (
+        SELECT conv_id, turn_idx, subj, obj
+        FROM p WHERE pair_no <= 10
+    ),
+    r AS (
+        SELECT s.conv_id, s.turn_idx,
+               COALESCE(cs.component, s.subj) AS subj,
+               COALESCE(co.component, s.obj) AS obj
+        FROM sel s
+        LEFT JOIN cmap cs ON s.subj = cs.node
+        LEFT JOIN cmap co ON s.obj = co.node
+    )
+    SELECT subj, obj,
+           CAST(MIN(turn_idx) AS INT) AS first_turn,
+           CAST(MAX(turn_idx) AS INT) AS last_turn,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM r GROUP BY subj, obj
+    """
+    )
+
+
+@register("kg_pair_timeline", _kg_timeline_oracle())
+def kg_pair_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG rollup: per CANONICAL entity pair, its validity window
+    in turn coordinates (first/last observing turn), distinct-conversation
+    coverage, and total support — the first-seen/last-seen/provenance
+    surface a downstream triple store exposes (turn_idx maps affinely to
+    the transcript ts column, sources/transcripts.py, so the window IS the
+    time interval). Same plan skeleton as kg_canonical_pairs (broadcast
+    component map, ONE wide groupBy; countDistinct adds the standard
+    two-phase expand, still keyed by the same (subj, obj))."""
+    from relex_spark.operators.candidates import (
+        detect_mentions,
+        generate_candidate_pairs,
+    )
+    from relex_spark.operators.canonicalize import (
+        alias_edges_from_gazetteer,
+        connected_components,
+    )
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        gazetteer_df,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    pairs = generate_candidate_pairs(m, 10).select(
+        "conv_id", "turn_idx", "subj", "obj"
+    )
+    cmap = F.broadcast(
+        connected_components(alias_edges_from_gazetteer(gazetteer_df(spark)))
+    )
+    r = (
+        pairs.join(cmap, pairs["subj"] == cmap["node"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("component", "subj").alias("subj_c"),
+            "obj",
+        )
+        .join(cmap, F.col("obj") == cmap["node"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("subj_c").alias("subj"),
+            F.coalesce("component", "obj").alias("obj"),
+        )
+    )
+    return r.groupBy("subj", "obj").agg(
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.count(F.lit(1)).cast("bigint").alias("support"),
     )
 
 
@@ -5392,6 +5485,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
+    "kg_pair_timeline": "standalone: temporal validity rollup of the "
+    "driver-checked kg_canonical_pairs plan (same component map, same "
+    "grouping key; adds first/last turn + distinct-conv coverage)",
     "x_triangle_counts": "standalone: degree-oriented triangle counting "
     "over the co-mention graph, certified against the naive three-way "
     "join; the graph-analytics family is driver-checked via x_pagerank",
