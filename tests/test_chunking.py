@@ -79,3 +79,40 @@ def test_validation_and_narrow_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan  # narrow: no shuffle anywhere
+
+
+def test_window_rule_matches_python_replay_across_geometries(spark):
+    """Batched property check: many random (n_tokens, chunk, overlap)
+    geometries against a pure-Python replay of the documented rule."""
+    import hashlib
+
+    def replay(tokens, chunk, overlap):
+        stride = chunk - overlap
+        n = len(tokens)
+        n_chunks = (
+            1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+        )
+        return [
+            " ".join(tokens[i * stride : i * stride + chunk])
+            for i in range(n_chunks)
+        ]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    for chunk, overlap in [(1, 0), (2, 1), (5, 2), (16, 4), (64, 63)]:
+        rows, expect = [], {}
+        for d in range(12):
+            n = 1 + h(f"{chunk}:{overlap}:{d}") % 150
+            tokens = [f"w{h(f'{d}:{i}') % 97}" for i in range(n)]
+            rows.append((d, " ".join(tokens)))
+            expect[d] = replay(tokens, chunk, overlap)
+        got = {}
+        out = chunk_documents(
+            _docs(spark, rows), chunk, overlap
+        ).collect()
+        for r in out:
+            got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+        assert {
+            d: [v[i] for i in range(len(v))] for d, v in got.items()
+        } == expect, (chunk, overlap)
