@@ -33,6 +33,39 @@ def _member(arr: Column):
     return lambda t: F.array_position(arr, t) > 0
 
 
+def anaphora_features(
+    turns: DataFrame,
+    entities: Sequence[str],
+    triggers: Sequence[str] = DEFAULT_TRIGGERS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared JVM-side per-turn projection for the batch AND streaming
+    anaphora resolvers: (conv_id, turn_idx, turn_entity, trigger), where
+    ``turn_entity`` is the LAST entity token by position (NULL if none)
+    and ``trigger`` the FIRST trigger token (NULL if none). Pure codegen
+    array expressions — the streaming path crosses into Python only to
+    fold these four narrow columns through the per-conversation state."""
+    if not entities:
+        raise ValueError("empty entity set")
+    if not triggers:
+        raise ValueError("empty trigger set")
+    ent_arr = F.array(*[F.lit(e) for e in sorted(set(entities))])
+    trig_arr = F.array(*[F.lit(t) for t in sorted(set(triggers))])
+    toks = F.split(F.col(text_col), " ")
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        # try_element_at: NULL (not an ANSI error) when the filtered list
+        # is empty — "this turn mentions no entity / has no trigger".
+        F.try_element_at(F.filter(toks, _member(ent_arr)), F.lit(-1)).alias(
+            "turn_entity"
+        ),
+        F.try_element_at(F.filter(toks, _member(trig_arr)), F.lit(1)).alias(
+            "trigger"
+        ),
+    )
+
+
 def resolve_anaphora(
     turns: DataFrame,
     entities: Sequence[str],
@@ -63,25 +96,7 @@ def resolve_anaphora(
     """
     if lookback < 1:
         raise ValueError(f"lookback must be >= 1, got {lookback}")
-    if not entities:
-        raise ValueError("empty entity set")
-    if not triggers:
-        raise ValueError("empty trigger set")
-    ent_arr = F.array(*[F.lit(e) for e in sorted(set(entities))])
-    trig_arr = F.array(*[F.lit(t) for t in sorted(set(triggers))])
-    toks = F.split(F.col(text_col), " ")
-    feat = turns.select(
-        "conv_id",
-        "turn_idx",
-        # try_element_at: NULL (not an ANSI error) when the filtered list
-        # is empty — "this turn mentions no entity / has no trigger".
-        F.try_element_at(F.filter(toks, _member(ent_arr)), F.lit(-1)).alias(
-            "turn_entity"
-        ),
-        F.try_element_at(F.filter(toks, _member(trig_arr)), F.lit(1)).alias(
-            "trigger"
-        ),
-    )
+    feat = anaphora_features(turns, entities, triggers, text_col)
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")

@@ -151,6 +151,86 @@ def conversation_entity_state(
     )
 
 
+ANAPHORA_OUTPUT = (
+    "conv_id STRING, turn_idx INT, trigger STRING, antecedent STRING, "
+    "antecedent_turn_idx INT, gap INT"
+)
+# rows_since: rows processed since the last mention ROW (the batch window
+# is row-count-based, not turn-distance-based)
+ANAPHORA_STATE = "last_ent STRING, last_turn INT, rows_since INT"
+
+
+def streaming_resolve_anaphora(
+    transcripts: DataFrame,
+    entities,
+    triggers,
+    lookback: int = 6,
+):
+    """Streaming twin of ``coref.resolve_anaphora`` — ORDER-DEPENDENT
+    per-conversation state carried across micro-batches with
+    ``applyInPandasWithState``: the most recent entity mention
+    (last_ent, last_turn) plus the row count since it. Unlike the
+    entity-rollup state (a set union, order-free), anaphora state is a
+    carry-forward, so this exercises the harder stateful class: the
+    result equals the batch window IFF each conversation's turns arrive
+    in turn order across batches (the ingest contract a per-conv-ordered
+    source like Kafka-keyed-by-conv or turn-ordered file ingest
+    provides; within a batch the group is sorted defensively).
+
+    JVM-side feature projection (anaphora_features) runs BEFORE the
+    grouping, so Python folds four narrow columns — no text crosses the
+    Arrow boundary. Parity with the batch operator is pinned by
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from relex_spark.operators.coref import anaphora_features
+
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    feat = anaphora_features(transcripts, entities, triggers)
+
+    def update(key, pdfs, state: GroupState):
+        last_ent, last_turn, rows_since = (
+            state.get if state.exists else (None, None, 0)
+        )
+        out = {k: [] for k in (
+            "conv_id", "turn_idx", "trigger", "antecedent",
+            "antecedent_turn_idx", "gap",
+        )}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        for turn_idx, ent, trig in zip(
+            pdf["turn_idx"], pdf["turn_entity"], pdf["trigger"]
+        ):
+            if last_ent is not None:
+                rows_since += 1
+            if (
+                isinstance(trig, str)
+                and last_ent is not None
+                and rows_since <= lookback
+            ):
+                out["conv_id"].append(key[0])
+                out["turn_idx"].append(int(turn_idx))
+                out["trigger"].append(trig)
+                out["antecedent"].append(last_ent)
+                out["antecedent_turn_idx"].append(int(last_turn))
+                out["gap"].append(int(turn_idx) - int(last_turn))
+            if isinstance(ent, str):  # None or NaN = no mention
+                last_ent, last_turn, rows_since = ent, int(turn_idx), 0
+        state.update((last_ent, last_turn, rows_since))
+        yield pd.DataFrame(out)
+
+    return feat.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=ANAPHORA_OUTPUT,
+        stateStructType=ANAPHORA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_session_counts(
     events: DataFrame,
     key_col: str = "user_id",

@@ -351,3 +351,76 @@ def test_streaming_canonical_graph_merge_equivalence(spark):
         assert got == want and got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_anaphora_matches_batch_across_microbatches(spark):
+    """Order-dependent carry-forward state: streaming resolution over
+    turn-ordered micro-batches equals the batch window operator, including
+    links whose antecedent lies in an EARLIER micro-batch."""
+    import datetime as _dt
+
+    from relex_spark.operators.coref import resolve_anaphora
+    from relex_spark.streaming.pipeline import streaming_resolve_anaphora
+
+    ents, trigs = ("alice", "server"), ("it", "she")
+    texts = {
+        0: "alice deployed the build",
+        1: "nothing to see",
+        2: "it looks healthy",       # -> alice (within micro-batch 1)
+        3: "the server restarted",   # mention; opens micro-batch 2
+        4: "it crashed again",       # -> server (within micro-batch 2)
+        5: "she will check logs",    # -> server (within micro-batch 2)
+        6: "she confirmed rollout",  # -> server: antecedent turn 3 lives in
+        #    the PREVIOUS micro-batch and rows_since (3 = lookback) was
+        #    carried through state — the positive cross-batch case
+        7: "it recovered",           # rows_since 4 > lookback=3: dropped,
+        #    which also requires the carried counter (a reset-per-batch
+        #    bug would emit it)
+    }
+    ts = _dt.datetime(2024, 1, 1)
+    rows = [
+        (f"c{c}", i, "user", txt, None, ts)
+        for c in range(3)
+        for i, txt in texts.items()
+    ]
+    batch = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    expected = sorted(
+        map(tuple, resolve_anaphora(batch, ents, trigs, lookback=3).collect())
+    )
+    assert len(expected) == 12  # turns 2,4,5,6 x 3 convs; turn 7 dropped
+
+    tmp = tempfile.mkdtemp(prefix="relex_coref_stream_")
+    try:
+        # three turn-ordered file splits -> maxFilesPerTrigger=1 gives
+        # multiple micro-batches with state carried between them
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            batch.where(
+                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/in/split={lo}"
+            )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/split=*")
+        )
+        q = (
+            streaming_resolve_anaphora(stream, ents, trigs, lookback=3)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("coref_stream")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = sorted(
+            map(tuple, spark.table("coref_stream").collect())
+        )
+        assert got == expected
+    finally:
+        spark.catalog.dropTempView("coref_stream")
+        shutil.rmtree(tmp, ignore_errors=True)
