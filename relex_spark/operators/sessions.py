@@ -144,3 +144,57 @@ def asof_join(
         *[row_struct[c].alias(c) for c in value_cols],
     )
     return carried.where(F.col("__is_right") == 0).drop("__is_right")
+
+
+def collapse_retries(
+    turns: DataFrame,
+    threshold_u6: int = 200_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse runs of consecutive near-duplicate turns within a
+    conversation — the retry/repeat spam agent transcripts accumulate
+    (the signal `x_turn_analysis` measures, turned into the curation
+    action). A turn is a RETRY of its immediate predecessor when the
+    normalized Levenshtein ratio (floor(dist/max_len*1e6+0.5), the exact
+    integer form shared with x_turn_analysis) is <= ``threshold_u6``;
+    each maximal run collapses to its FIRST turn, which carries the
+    number of turns it absorbed.
+
+    Exact-integer thresholding keeps the decision engine-portable (a
+    DuckDB oracle replays it bit-for-bit). Scale shape: ONE shuffle (the
+    shared per-conversation window partitioning) — lag, flag, running sum
+    of keep-flags (= run id), then the per-run rollup rides the same
+    partitioning since (conv_id, run) is a refinement of conv_id; JVM
+    levenshtein, no Python.
+
+    Output: (conv_id, turn_idx, text, n_collapsed INT) — kept turns only,
+    n_collapsed = turns absorbed after this one (0 = no retries followed).
+    """
+    if not 0 <= threshold_u6 <= 1_000_000:
+        raise ValueError(f"threshold_u6 must be in [0, 1e6], got {threshold_u6}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(text_col).over(w)
+    dist = F.levenshtein(F.col(text_col), prev)
+    denom = F.greatest(
+        F.length(text_col), F.length(prev), F.lit(1)
+    ).cast("double")
+    ratio_u6 = F.floor(dist.cast("double") / denom * 1_000_000 + F.lit(0.5))
+    keep = F.when(
+        prev.isNull() | (ratio_u6 > threshold_u6), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = turns.select(
+        "conv_id", "turn_idx", F.col(text_col).alias("text"), keep.alias("__keep")
+    ).withColumn(
+        "__run",
+        F.sum("__keep").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("conv_id", "__run")
+        .agg(
+            F.min("turn_idx").cast("int").alias("turn_idx"),
+            F.min_by("text", "turn_idx").alias("text"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("n_collapsed"),
+        )
+        .drop("__run")
+        .select("conv_id", "turn_idx", "text", "n_collapsed")
+    )

@@ -4411,6 +4411,61 @@ def x_turn_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_collapse_retries",
+    """
+    WITH tr AS (
+        SELECT 'conv-' || CAST(doc_id % 40 AS STRING) AS conv_id,
+               CAST(floor(doc_id / 40.0) AS INT) AS turn_idx, text
+        FROM documents
+    ),
+    w AS (
+        SELECT conv_id, turn_idx, text, lag(text) OVER win AS p
+        FROM tr WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    f AS (
+        SELECT conv_id, turn_idx, text,
+               CASE WHEN p IS NULL OR CAST(floor(
+                        CAST(levenshtein(text, p) AS DOUBLE)
+                        / greatest(length(text), length(p), 1)
+                        * 1000000 + 0.5) AS BIGINT) > 650000
+                    THEN 1 ELSE 0 END AS keep
+        FROM w
+    ),
+    g AS (
+        SELECT conv_id, turn_idx, text,
+               SUM(keep) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS run
+        FROM f
+    )
+    SELECT conv_id, CAST(MIN(turn_idx) AS INT) AS turn_idx,
+           min_by(text, turn_idx) AS text,
+           CAST(COUNT(*) - 1 AS INT) AS n_collapsed
+    FROM g GROUP BY conv_id, run
+    """,
+)
+def x_collapse_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-collapse (operators/sessions.py `collapse_retries`) over the
+    transcript corpus: runs of consecutive near-duplicate turns collapse
+    to their first turn, which carries the absorbed count. The corpus is
+    closed-vocabulary word soup (TESTDATA.md), so the engine-checked
+    threshold is the permissive 0.65 edit ratio (collapses ~4.5% of
+    turns here); true retry semantics at the production 0.2 default are
+    pinned by the pytest fixture. One shuffle; exact-integer threshold
+    replayed by the oracle."""
+    from relex_spark.operators.sessions import collapse_retries
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 40).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 40.0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return collapse_retries(tr, threshold_u6=650_000)
+
+
 # The corpus vocabulary is closed lowercase tech words (TESTDATA.md), so the
 # anaphora TRIGGER set for the engine-checked query is the determiners that
 # actually occur ('the', 'a') and the entity set is four corpus nouns — the
@@ -5485,6 +5540,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "decoded BMPs; the driver window carries the decode path via "
     "mm_real_decode — the resize oracle replays the generator's closed "
     "forms through the documented resample mapping",
+    "x_collapse_retries": "standalone: retry-run collapse; the edit-ratio "
+    "signal it thresholds is driver-checked via x_turn_analysis and the "
+    "window machinery via x_sessionize",
     "kg_pair_timeline": "standalone: temporal validity rollup of the "
     "driver-checked kg_canonical_pairs plan (same component map, same "
     "grouping key; adds first/last turn + distinct-conv coverage)",

@@ -232,3 +232,46 @@ def test_asof_join_rejects_colliding_value_columns(spark):
     right = spark.createDataFrame([("A", ts, 2.0)], "k string, ts timestamp, price double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "k")
+
+
+def test_collapse_retries_semantics(spark):
+    from relex_spark.operators.sessions import collapse_retries
+
+    t = spark.createDataFrame(
+        [
+            # c1: run of 3 near-identical retries after turn 0, then new text
+            ("c1", 0, "please rerun the failing job now"),
+            ("c1", 1, "please rerun the failing job nww"),   # retry of 0
+            ("c1", 2, "please rerun the failing job nww!"),  # retry of 1
+            ("c1", 3, "deploy finished without errors"),
+            # c2: no retries at all
+            ("c2", 0, "alpha beta gamma"),
+            ("c2", 1, "completely different text here"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_collapsed"], r["text"])
+        for r in collapse_retries(t, threshold_u6=200_000).collect()
+    }
+    assert got == {
+        ("c1", 0): (2, "please rerun the failing job now"),
+        ("c1", 3): (0, "deploy finished without errors"),
+        ("c2", 0): (0, "alpha beta gamma"),
+        ("c2", 1): (0, "completely different text here"),
+    }
+    # threshold 0 collapses only EXACT consecutive duplicates
+    exact = collapse_retries(t, threshold_u6=0)
+    assert exact.count() == 6
+    # partitioning independence
+    rep = {
+        (r["conv_id"], r["turn_idx"]): (r["n_collapsed"], r["text"])
+        for r in collapse_retries(
+            t.repartition(5), threshold_u6=200_000
+        ).collect()
+    }
+    assert rep == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        collapse_retries(t, threshold_u6=2_000_000)
