@@ -312,6 +312,8 @@ def main() -> int:
         "x_coref_resolve",
         "x_negative_samples",
         "x_triangle_counts",
+        "kg_pair_timeline",
+        "x_collapse_retries",
     ):
         run_noop(QUERIES[name](spark, sf_dir))  # discarded warm run
         timings[name] = best_of(
@@ -335,6 +337,8 @@ def main() -> int:
         "x_coref_resolve",
         "x_negative_samples",
         "x_triangle_counts",
+        "kg_pair_timeline",
+        "x_collapse_retries",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in headline_exclude), 3
