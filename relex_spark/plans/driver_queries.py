@@ -4692,6 +4692,96 @@ def x_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@register(
+    "x_entity_pmi",
+    _kg_pairs_cte()
+    + """,
+    ce AS (
+        SELECT DISTINCT conv_id, turn_idx // 3 AS blk, entity_id FROM m1
+    ),
+    blocks AS (
+        SELECT COUNT(*) AS n FROM (SELECT DISTINCT conv_id, blk FROM ce)
+    ),
+    marg AS (SELECT entity_id, COUNT(*) AS n_e FROM ce GROUP BY entity_id),
+    prs AS (
+        SELECT l.entity_id AS a, r.entity_id AS b, COUNT(*) AS n_ab
+        FROM ce l JOIN ce r
+          ON l.conv_id = r.conv_id AND l.blk = r.blk
+         AND l.entity_id < r.entity_id
+        GROUP BY l.entity_id, r.entity_id
+    )
+    SELECT p.a AS subj, p.b AS obj, CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(floor(ln(CAST(p.n_ab * (SELECT n FROM blocks) AS DOUBLE)
+                         / CAST(ma.n_e * mb.n_e AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS pmi_u6
+    FROM prs p
+    JOIN marg ma ON ma.entity_id = p.a
+    JOIN marg mb ON mb.entity_id = p.b
+    """,
+)
+def x_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for co-mentioned entity pairs over the
+    same 3-turn-block co-mention space as x_triangle_counts — the edge
+    weighting a canonical graph uses for triple-confidence priors
+    (PMI = ln(n_ab*N / (n_a*n_b)) over block counts, micro-unit rounded;
+    libm-ln portability at this precision is the same contract x_lm_score
+    already pins). Two aggregations + one self-join, all keyed by the
+    block/entity keys; marginals are dim-sized broadcasts."""
+    from relex_spark.operators.candidates import detect_mentions
+    from relex_spark.operators.textstats import micro_units
+    from relex_spark.sources.transcripts import (
+        fixture_gazetteer_rows,
+        transcripts_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs)
+    m = detect_mentions(t, fixture_gazetteer_rows(), keep_text=False)
+    ms = F.col("mentions")
+    ce = (
+        m.select(
+            "conv_id",
+            (F.col("turn_idx") / 3).cast("int").alias("blk"),
+            # double-reference guard: see x_triangle_counts
+            F.explode(F.when(F.size(ms) >= 1, ms)).alias("mn"),
+        )
+        .select("conv_id", "blk", F.col("mn.entity_id").alias("ent"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_blocks = ce.select("conv_id", "blk").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = ce.groupBy(F.col("ent")).agg(F.count(F.lit(1)).alias("n_e"))
+    prs = (
+        ce.alias("l")
+        .join(ce.alias("r"), ["conv_id", "blk"])
+        .where(F.col("l.ent") < F.col("r.ent"))
+        .groupBy(
+            F.col("l.ent").alias("subj"), F.col("r.ent").alias("obj")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ma = marg.select(F.col("ent").alias("subj"), F.col("n_e").alias("n_a"))
+    mb = marg.select(F.col("ent").alias("obj"), F.col("n_e").alias("n_b"))
+    return (
+        prs.join(F.broadcast(ma), "subj")
+        .join(F.broadcast(mb), "obj")
+        .crossJoin(F.broadcast(n_blocks))
+        .select(
+            "subj",
+            "obj",
+            "n_ab",
+            micro_units(
+                F.log(
+                    (F.col("n_ab") * F.col("n")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+            ).alias("pmi_u6"),
+        )
+    )
+
+
 @register("x_negative_samples", _negatives_oracle())
 def x_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered negative sampling (operators/negatives.py) over the REAL
@@ -5546,6 +5636,9 @@ EXTRA_COVERAGE: dict[str, str] = {
     "kg_pair_timeline": "standalone: temporal validity rollup of the "
     "driver-checked kg_canonical_pairs plan (same component map, same "
     "grouping key; adds first/last turn + distinct-conv coverage)",
+    "x_entity_pmi": "standalone: PMI edge weighting over the co-mention "
+    "space; mention detection is driver-checked via kg_candidate_pairs "
+    "and the log/micro-unit portability contract via x_lm_score",
     "x_triangle_counts": "standalone: degree-oriented triangle counting "
     "over the co-mention graph, certified against the naive three-way "
     "join; the graph-analytics family is driver-checked via x_pagerank",
