@@ -78,8 +78,40 @@ def _edge_signature(e: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"])
 
 
+def _components_local(edge_rows: list) -> list[tuple[str, str]]:
+    """Driver-side min-label union-find over a collected edge list.
+
+    Identical contract to the distributed path: every node of the
+    symmetrized graph labeled with the lexicographically-smallest node id
+    of its component (Spark string ordering is UTF-8 byte order, which
+    matches Python's code-point comparison for these ids)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edge_rows:
+        for n in (src, dst):
+            if n not in parent:
+                parent[n] = n
+        if src != dst:
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_every: int = 1,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Minimum-label connected components over an undirected edge list.
 
@@ -87,7 +119,16 @@ def connected_components(
     component STRING) where component is the lexicographically-smallest
     node id in the component.
 
-    Implementation: the alternating large-star/small-star algorithm
+    Small graphs (``<= local_threshold`` edges — alias gazetteers are
+    dim-sized by definition) are collected and solved with a driver-side
+    union-find: the iterative star algorithm costs ~10 Spark jobs with two
+    eager checkpoints, pure overhead when the edge list is a broadcast-
+    sized dim (measured ~1.5s of driver-loop time for a 40-edge gazetteer
+    at every timed query that builds a component map). The collect is
+    bounded by the threshold probe, so no unbounded driver transfer can
+    happen; identical labels either way.
+
+    Large graphs use the alternating large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SOCC'14) as DataFrame self-joins — converges in O(log² n) rounds
     (O(log n) in practice) regardless of graph diameter, so long entity
@@ -95,6 +136,15 @@ def connected_components(
     keyed by node id; AQE handles skewed hub nodes. At the fixpoint the
     edge set is exactly {(node, component-min)} for every non-root node.
     """
+    if local_threshold > 0:
+        probe = edges.select("src", "dst").limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            from relex_spark.sources.localdim import local_dim
+
+            labels = _components_local([(r["src"], r["dst"]) for r in probe])
+            return local_dim(
+                edges.sparkSession, labels, "node string, component string"
+            )
     nodes = (
         _symmetrize(edges)
         .select(F.col("src").alias("node"))

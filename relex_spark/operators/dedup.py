@@ -219,6 +219,13 @@ def jaccard_pairs(
     # shuffle of already-shingled rows, so the (expensive) shingle build
     # runs once per doc instead of once per side — measured 2× on the whole
     # query — and the join arrives pre-partitioned by the block key.
+    # The partition count is pinned (REPARTITION_BY_NUM): without a count,
+    # AQE coalesces this small-BYTE shuffle to 1-2 tasks and serializes the
+    # CPU-dense per-pair set intersections downstream (bytes are a poor
+    # proxy for the O(|block|²·|sh|) verify work).
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     sh = (
         shingled_docs(docs, text_col, shingle_n, hashed=True)
         .select(
@@ -226,7 +233,7 @@ def jaccard_pairs(
             F.col(block_col).alias("block"),
             F.col("sh"),
         )
-        .repartition("block")
+        .repartition(n_parts, "block")
     )
     a = sh.alias("a")
     b = sh.alias("b")

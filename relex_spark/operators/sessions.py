@@ -172,6 +172,16 @@ def collapse_retries(
     """
     if not 0 <= threshold_u6 <= 1_000_000:
         raise ValueError(f"threshold_u6 must be in [0, 1e6], got {threshold_u6}")
+    # Pin the window's conv_id partitioning (REPARTITION_BY_NUM, which AQE
+    # never coalesces): the shuffle is byte-light but each row then pays an
+    # O(len²) levenshtein against its predecessor, and AQE's byte-based
+    # coalescing was collapsing the whole corpus into ONE task (measured
+    # 3.7s -> 0.6s at sf0.1). The window and the per-run rollup both reuse
+    # this exchange (conv_id ⊆ both keys), so the plan stays ONE shuffle.
+    n_parts = int(
+        turns.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    turns = turns.repartition(n_parts, "conv_id")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev = F.lag(text_col).over(w)
     dist = F.levenshtein(F.col(text_col), prev)

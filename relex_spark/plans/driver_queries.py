@@ -64,6 +64,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Scan-parallelism repair threshold (guide §2.5 "input skew"): a table that
+# is one small parquet FILE holds a single row group, so its scan — and
+# every narrow compute stage fused onto it — runs as ONE task no matter the
+# core count. Queries whose per-row compute dominates (shingle sets, bigram
+# explodes, dot products) repartition such scans to the session's default
+# parallelism first. The decision is taken from the file size on disk:
+# a directory-backed table (any real at-scale layout) or a file big enough
+# to split (>= cores x 16 MB) is left alone, so at cluster scale _spread is
+# a no-op and no gratuitous shuffle of a large input ever happens.
+_SPREAD_BYTES_PER_CORE = 16 << 20
+
+
+def _spread(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if not _os.path.isfile(path):
+            return df
+        size = _os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if size >= par * _SPREAD_BYTES_PER_CORE:
+        return df
+    return df.repartition(par)
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + _spread: the scan for a compute-dense query."""
+    return _spread(_t(spark, sf_dir, name), spark, sf_dir, name)
+
+
 # ---------------------------------------------------------------------------
 # Classical relational: joins + aggregations (E1-analogue counter aggs get
 # their workout below; these exercise shuffle agg, broadcast/shuffle joins,
@@ -168,7 +201,7 @@ def v1_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (configs/.../baseline_cnn.jsonnet:109-112)."""
     from relex_spark.operators.vocab import build_token_vocab
 
-    docs = _t(spark, sf_dir, "documents").select(split_ws("text").alias("tokens"))
+    docs = _ts(spark, sf_dir, "documents").select(split_ws("text").alias("tokens"))
     return build_token_vocab(docs, min_count=2)
 
 
@@ -729,7 +762,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relex_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        _ts(spark, sf_dir, "documents"), num_hashes=8, bands=4
     )
 
 
@@ -756,7 +789,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup; block key (lang, source) stands in for the LSH bucket)."""
     from relex_spark.operators.dedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _ts(spark, sf_dir, "documents").withColumn(
         "block", F.concat_ws("|", "lang", "source")
     )
     return jaccard_pairs(docs, "block", threshold=0.05)
@@ -815,9 +848,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, dot product as JVM-side aggregate(zip_with) — no Python."""
     from relex_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk(queries, emb, k=3)
+    # queries stay on the (broadcast) unspread scan; only the corpus side —
+    # which carries the per-pair dot-product work — is spread
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 50 == 0)
+    corpus = _ts(spark, sf_dir, "embeddings")
+    return cosine_topk(queries, corpus, k=3)
 
 
 def _lsh_oracle(n_planes: int = 4, dim: int = 64) -> str:
@@ -2508,7 +2543,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-/duplicate-bigram fractions) via two-level hash aggregate."""
     from relex_spark.operators.textstats import repetition_signals
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals(_ts(spark, sf_dir, "documents"))
 
 
 # Deterministic PII injection shared by the Spark query and the oracle:
@@ -2967,6 +3002,9 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability join (distinct (doc, bigram) pairs only)."""
     from relex_spark.operators.curation import bigram_lm_scores
 
+    # NOT spread (measured): the per-doc bigram agg parallelizes poorly and
+    # the extra exchange costs more than the scan parallelism buys
+    # (interleaved A/B: plain 1.28s vs spread 1.60s at sf0.1)
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
@@ -4809,9 +4847,16 @@ def x_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("subj") != F.col("obj"))
         .select("subj", F.lit("related_to").alias("pred"), "obj")
         .distinct()
+        # negative_sample_triples consumes the positives TWICE (corruption
+        # candidates + truth anti-join side), but the distinct's exchange is
+        # reused across both references (ReusedExchange), so a checkpoint
+        # here costs more than the nominal double reference (measured)
     )
-    ents = spark.createDataFrame(
-        [(e,) for e in sorted({eid for _, eid, _ in fixture_gazetteer_rows()})],
+    from relex_spark.sources.localdim import local_dim
+
+    ents = local_dim(
+        spark,
+        sorted({eid for _, eid, _ in fixture_gazetteer_rows()}),
         "entity string",
     )
     return negative_sample_triples(pos, ents, k=4)

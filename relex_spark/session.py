@@ -61,6 +61,16 @@ def get_spark(
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # NOTE (r6, measured): AQE's byte-based coalescing can serialize
+        # CPU-dense small-byte shuffles (levenshtein windows, shingle-set
+        # intersections) into 1-2 tasks. Lowering
+        # coalescePartitions.minPartitionSize session-wide was tried and
+        # REJECTED: it fixed those two stages but cost every multi-stage
+        # aggregation query more in task overhead than it saved (x_lm_score
+        # 1.28s -> 2.67s interleaved A/B). The fix lives in the two
+        # operators instead, as pinned repartition-by-key (REPARTITION_BY_NUM
+        # is never coalesced): operators/sessions.py collapse_retries,
+        # operators/dedup.py jaccard_pairs.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -215,8 +215,15 @@ def fixture_gazetteer_rows() -> list[tuple[str, str, str]]:
 
 
 def gazetteer_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        fixture_gazetteer_rows(), "surface string, entity_id string, entity_type string"
+    # JVM LocalRelation, not createDataFrame: a Python-parallelized 40-row
+    # dim costs defaultParallelism Python-worker tasks at EVERY
+    # materialization (broadcast builds, CC probes) — see sources/localdim.py
+    from relex_spark.sources.localdim import local_dim
+
+    return local_dim(
+        spark,
+        fixture_gazetteer_rows(),
+        "surface string, entity_id string, entity_type string",
     )
 
 
