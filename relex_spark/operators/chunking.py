@@ -43,18 +43,23 @@ def chunk_documents(
         )
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # exact-integer ceil division; `div` stays in codegen
+    # Two projections (the repo's double-reference guard): __toks is
+    # referenced both as a column and inside the explode's sequence bound,
+    # and a multi-referenced non-cheap alias blocks CollapseProject — so
+    # split() runs ONCE per row instead of once per reference. n_chunks is
+    # exact-integer ceil division over the bound column (`div` stays in
+    # codegen); no user-supplied column name is interpolated into SQL text.
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.expr(
-            f"(size(split({text_col}, ' ')) - {chunk_tokens} + {stride - 1}) "
-            f"div {stride}"
-        )
+        F.expr(f"(size(__toks) - {chunk_tokens} + {stride - 1}) div {stride}")
         + 1
     )
-    c = docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("__toks"),
+    c = with_toks.select(
+        "doc_id",
+        "__toks",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     window = F.slice(

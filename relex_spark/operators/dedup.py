@@ -177,7 +177,10 @@ def minhash_lsh_candidates(
     # inline the signature expression into BOTH join sides (AQE may turn
     # one side into a broadcast, defeating exchange reuse). localCheckpoint
     # truncates lineage so each side scans the materialized partitions.
-    buckets = buckets.localCheckpoint(eager=False)
+    # Eager (r6, measured): the join's two sides are submitted as
+    # CONCURRENT stages, and with a lazy checkpoint they race to
+    # materialize the same partitions, duplicating the signature compute.
+    buckets = buckets.localCheckpoint(eager=True)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (

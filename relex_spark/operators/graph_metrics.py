@@ -119,8 +119,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         # e is referenced by FIVE downstream nodes (degree agg, two degree
         # joins, closing-edge probe, node zero-fill) — without this the
         # upstream edge derivation (e.g. full mention detection) re-executes
-        # once per reference
-        .localCheckpoint(eager=False)
+        # once per reference. Eager: the five consumers are concurrent
+        # stages and race a lazy checkpoint's materialization (r6).
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -138,7 +139,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = ed.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # wedges (u -> v, u -> w) with a canonical v < w; triangle closes when
     # the oriented graph also holds v->w or w->v — exactly one of the two
     # exists if the undirected edge does, so probe the UNDIRECTED set

@@ -30,9 +30,21 @@ def _h60(*cols: Column) -> Column:
     """60-bit deterministic hash: first 15 hex digits of md5 of the
     ':'-joined string forms — the portable form shared with the corpus
     generator and every DuckDB oracle (`conv(hex,16,10)` here,
-    `CAST('0x'||hex AS BIGINT)` there)."""
-    joined = F.concat_ws(":", *[c.cast("string") for c in cols])
-    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+    `CAST('0x'||hex AS BIGINT)` there).
+
+    NULL-propagating concat (not concat_ws, which SKIPS null inputs): the
+    oracle's ``||`` yields NULL for a null-keyed triple, so the engine must
+    too — with concat_ws a null subj/pred/obj produced a hash (and
+    cross-field collisions like (a,NULL,b) == (a,b,NULL)) while the oracle
+    dropped the row. Identical bytes for fully-non-null inputs."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(c.cast("string"))
+    return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
 
 
 def negative_sample_triples(
@@ -56,7 +68,11 @@ def negative_sample_triples(
     ents = entities.select(F.col(entity_col).alias("__ent")).distinct()
     # row_number over a total order: a deterministic dense 0-based id.
     # The single-partition window sort is fine on a dim table (same
-    # reasoning as vocab build, operators/vocab.py).
+    # reasoning as vocab build, operators/vocab.py). Collation note: Spark
+    # orders strings by UTF-8 bytes, which equals code-point order for ALL
+    # of Unicode (UTF-8 is order-preserving), and DuckDB's binary collation
+    # is the same order — the id assignment is cross-engine stable with no
+    # ASCII-only restriction.
     ents = ents.select(
         "__ent",
         (F.row_number().over(Window.orderBy("__ent")) - 1).alias("__eid"),

@@ -213,14 +213,18 @@ def build_triples(
         feat, key = score_key(
             config.encoder, sorted((weights_bc.value.extra.get("ns_emb") or {}))
         )
-        # Materialize the keyed candidates once (lazy localCheckpoint):
+        # Materialize the keyed candidates once (EAGER localCheckpoint):
         # both the distinct branch and the join-back side consume pairs_k,
         # and without it the whole narrow scan→detect→pairs chain executes
-        # TWICE (measured +30% wall on the scaling corpus). On a cluster
-        # this materialization is the "preprocessed candidates" stage the
+        # TWICE (measured +30% wall on the scaling corpus). Eager, not
+        # lazy (r6, measured): with a LAZY checkpoint the two consumer
+        # stages are submitted concurrently and race to materialize the
+        # same partitions — 148s summed CPU vs 27s eager on the sf0.1
+        # bench corpus (wall 11.7s vs 3.3s). On a cluster this
+        # materialization is the "preprocessed candidates" stage the
         # checkpoint_dir protocol writes anyway.
         pairs_k = pairs.withColumn("score_key", key).localCheckpoint(
-            eager=False
+            eager=True
         )
         uniq = pairs_k.select("score_key", *feat).dropDuplicates(["score_key"])
         scored_uniq = score_candidates(
@@ -428,8 +432,10 @@ def tacred_scored_candidates(
     keep = ["conv_id", "turn_idx", "id", "subj", "obj"]
     if score_distinct and not transcripts.isStreaming:
         feat, key = score_key("gcn")
+        # eager for the same reason as build_triples: concurrent consumer
+        # stages race a lazy checkpoint's materialization
         cands_k = cands.withColumn("score_key", key).localCheckpoint(
-            eager=False
+            eager=True
         )
         uniq = cands_k.select("score_key", *feat).dropDuplicates(["score_key"])
         scored_uniq = score_candidates(

@@ -81,6 +81,22 @@ def test_validation_and_narrow_plan(spark):
     assert "Exchange" not in plan  # narrow: no shuffle anywhere
 
 
+def test_split_evaluated_once_per_row(spark):
+    """Double-reference guard (the explode-inlining footgun fixed in
+    x_triangle_counts / generate_candidate_pairs): the token split must
+    appear exactly once in the executed plan — n_chunks and the window
+    slices all read the materialized __toks column, never re-derive
+    split(text)."""
+    d = _docs(spark, [(1, "a b c d e f")])
+    plan = (
+        chunk_documents(d, 4, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
 def test_window_rule_matches_python_replay_across_geometries(spark):
     """Batched property check: many random (n_tokens, chunk, overlap)
     geometries against a pure-Python replay of the documented rule."""
