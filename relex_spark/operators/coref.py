@@ -96,6 +96,15 @@ def resolve_anaphora(
     """
     if lookback < 1:
         raise ValueError(f"lookback must be >= 1, got {lookback}")
+    # Pin the per-conversation partitioning up front (same rationale as
+    # collapse_retries): the token-scan features then run AFTER the
+    # exchange in parallel, the window and the final filter reuse the
+    # partitioning (ONE shuffle still), and AQE's byte-based coalescing
+    # cannot serialize the CPU-dense token scans into one task.
+    n_parts = int(
+        turns.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    turns = turns.repartition(n_parts, "conv_id")
     feat = anaphora_features(turns, entities, triggers, text_col)
     w = (
         Window.partitionBy("conv_id")

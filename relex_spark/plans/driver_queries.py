@@ -221,7 +221,9 @@ def v1_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (configs/.../baseline_cnn.jsonnet:109-112)."""
     from relex_spark.operators.vocab import build_token_vocab
 
-    docs = _ts(spark, sf_dir, "documents").select(split_ws("text").alias("tokens"))
+    # NOT spread (interleaved A/B: plain 0.59s vs spread 0.89s — the
+    # count agg's map-side combine parallelizes poorly, the exchange loses)
+    docs = _t(spark, sf_dir, "documents").select(split_ws("text").alias("tokens"))
     return build_token_vocab(docs, min_count=2)
 
 
@@ -781,8 +783,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-equi-join (shuffle ∝ candidates, never n²)."""
     from relex_spark.operators.dedup import minhash_lsh_candidates
 
+    # NOT spread (interleaved A/B: plain 1.34s vs spread 1.40s)
     return minhash_lsh_candidates(
-        _ts(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
     )
 
 
