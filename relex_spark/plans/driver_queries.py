@@ -74,9 +74,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # to split (>= cores x 16 MB) is left alone, so at cluster scale _spread is
 # a no-op and no gratuitous shuffle of a large input ever happens.
 _SPREAD_BYTES_PER_CORE = 16 << 20
+# Lower gate for the MODERATELY compute-dense queries (minhash signatures,
+# bigram-LM aggregation, quality features): below this the repartition
+# exchange costs more than the parallelism buys (interleaved A/B at sf0.1,
+# 0.6 MB documents: plain wins), above it the serial scan dominates
+# (interleaved A/B at a 5x corpus, 2.9 MB: spread wins 1.9x–4.0x). The
+# HIGHLY compute-dense queries (shingle-set intersections, dot products,
+# per-row bigram folds) pass min_bytes=0 — their per-byte work amortizes
+# the exchange even at 0.6 MB.
+_SPREAD_MIN_BYTES = 2 << 20
 
 
-def _spread(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _spread(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_bytes: int = 0,
+) -> DataFrame:
     import os as _os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -87,14 +102,16 @@ def _spread(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataF
     except OSError:
         return df
     par = spark.sparkContext.defaultParallelism
-    if size >= par * _SPREAD_BYTES_PER_CORE:
+    if size < min_bytes or size >= par * _SPREAD_BYTES_PER_CORE:
         return df
     return df.repartition(par)
 
 
-def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _ts(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = 0
+) -> DataFrame:
     """_t + _spread: the scan for a compute-dense query."""
-    return _spread(_t(spark, sf_dir, name), spark, sf_dir, name)
+    return _spread(_t(spark, sf_dir, name), spark, sf_dir, name, min_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -783,9 +800,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-equi-join (shuffle ∝ candidates, never n²)."""
     from relex_spark.operators.dedup import minhash_lsh_candidates
 
-    # NOT spread (interleaved A/B: plain 1.34s vs spread 1.40s)
+    # size-gated spread: plain wins at sf0.1 (A/B 1.34 vs 1.40) but the
+    # serial signature build dominates once the table grows (5x corpus:
+    # spread 1.99 vs plain 3.76)
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        _ts(spark, sf_dir, "documents", min_bytes=_SPREAD_MIN_BYTES),
+        num_hashes=8,
+        bands=4,
     )
 
 
@@ -1083,7 +1104,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # size-gated spread: at sf0.1 the single feature stage is 0.3s and the
+    # exchange is pure cost; at a 5x corpus spread wins 0.34 vs 1.35
+    docs = _ts(spark, sf_dir, "documents", min_bytes=_SPREAD_MIN_BYTES)
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -3025,10 +3048,12 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability join (distinct (doc, bigram) pairs only)."""
     from relex_spark.operators.curation import bigram_lm_scores
 
-    # NOT spread (measured): the per-doc bigram agg parallelizes poorly and
-    # the extra exchange costs more than the scan parallelism buys
-    # (interleaved A/B: plain 1.28s vs spread 1.60s at sf0.1)
-    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    # size-gated spread: plain wins at sf0.1 (A/B 1.28 vs 1.60) but the
+    # single-task explode+partial-agg dominates once the table grows
+    # (5x corpus: spread 3.01 vs plain 4.48)
+    return bigram_lm_scores(
+        _ts(spark, sf_dir, "documents", min_bytes=_SPREAD_MIN_BYTES)
+    )
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
