@@ -41,6 +41,25 @@ def local_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     every cell is CAST to the declared type, so int/bigint and float/double
     distinctions are exact. Rows may be tuples or single values (1-column).
     """
+    # String cells are escaped for Spark's DEFAULT string-literal mode
+    # (backslash escapes). Under spark.sql.parser.escapedStringLiterals=true
+    # neither backslash nor doubled-quote escaping applies inside
+    # single-quoted literals, so quoting-sensitive cells cannot be rendered
+    # safely — fail loudly instead of corrupting data.
+    if (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+        and any(
+            isinstance(v, str) and ("'" in v or "\\" in v)
+            for row in rows
+            for v in (row if isinstance(row, (tuple, list)) else (row,))
+        )
+    ):
+        raise ValueError(
+            "local_dim cannot escape quotes/backslashes under "
+            "spark.sql.parser.escapedStringLiterals=true — unset it or use "
+            "createDataFrame for this dim"
+        )
     fields = []
     for part in schema.split(","):
         name, typ = part.strip().rsplit(" ", 1)
