@@ -95,23 +95,34 @@ def _components_local(edge_rows: list) -> list[tuple[str, str]]:
             parent[x], x = r, parent[x]
         return r
 
+    has_null = False
     for src, dst in edge_rows:
         for n in (src, dst):
-            if n not in parent:
+            if n is None:
+                # distributed-path parity: a NULL endpoint never joins a
+                # component (NULL != x filters the edge) but still labels
+                # itself — emitted as a (NULL, NULL) row
+                has_null = True
+            elif n not in parent:
                 parent[n] = n
-        if src != dst:
+        if src is not None and dst is not None and src != dst:
             ra, rb = find(src), find(dst)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-    return sorted((n, find(n)) for n in parent)
+    labels: list[tuple[str | None, str | None]] = sorted(
+        (n, find(n)) for n in parent
+    )
+    if has_null:
+        labels.append((None, None))
+    return labels
 
 
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint_every: int = 1,
-    local_threshold: int = 100_000,
+    local_threshold: int = 4096,
 ) -> DataFrame:
     """Minimum-label connected components over an undirected edge list.
 
@@ -126,7 +137,10 @@ def connected_components(
     sized dim (measured ~1.5s of driver-loop time for a 40-edge gazetteer
     at every timed query that builds a component map). The collect is
     bounded by the threshold probe, so no unbounded driver transfer can
-    happen; identical labels either way.
+    happen; identical labels either way. The default threshold matches
+    local_dim's few-thousand-row VALUES contract; for graphs above it the
+    probe costs one bounded partial pass of the upstream plan — comparable
+    to the eager edge materialization the distributed loop starts with.
 
     Large graphs use the alternating large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond",

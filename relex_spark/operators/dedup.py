@@ -416,7 +416,9 @@ def simhash_candidate_pairs_wide(
     sigs = (
         docs.select(F.col(id_col).alias("id"), votes.alias("__votes"))
         .select("id", _bands_from_votes(F.col("__votes"), bits, band_bits).alias("bands"))
-        .localCheckpoint(eager=False)
+        # eager: the self-join sides are concurrent stages and race a lazy
+        # checkpoint's materialization (r6, same pattern as minhash buckets)
+        .localCheckpoint(eager=True)
     )
     exploded = sigs.select(
         "id", F.posexplode("bands").alias("band", "val")
@@ -569,7 +571,9 @@ def lsh_verified_pairs(
     sh = (
         shingled_docs(docs, text_col=text_col)
         .select(F.col(id_col), F.col("sh"))
-        .localCheckpoint(eager=False)
+        # eager: both verify-join sides are concurrent stages and race a
+        # lazy checkpoint's materialization (r6)
+        .localCheckpoint(eager=True)
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -621,7 +625,8 @@ def simhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
-    bands = bands.localCheckpoint(eager=False)
+    # eager: concurrent self-join sides race a lazy checkpoint (r6)
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -690,7 +695,9 @@ def duplicate_ngram_spans(
         )
         .select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )
-    grams = grams.localCheckpoint(eager=False)  # two consumers: counts + mark
+    # eager: counts + mark are concurrent consumer stages, which race a
+    # lazy checkpoint's materialization (r6)
+    grams = grams.localCheckpoint(eager=True)
     dup_hashes = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -27,7 +27,18 @@ def _lit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # inline the cast so the VALUES column stays uniformly numeric
+        # (a bare 'NaN' string cell makes the inline table type-incompatible)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            sign = "" if v > 0 else "-"
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -54,7 +54,9 @@ def main() -> int:
         "text_repetition",
         "x_lm_score",
         "events_tumbling_window",
-        "kg_canonicalize",
+        "kg_canonical_triples",
+        "kg_candidate_pairs",
+        "x_entity_pmi",
         "text_chunk_windows",
         "x_coref_resolve",
         "x_negative_samples",
